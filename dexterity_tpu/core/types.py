@@ -1,0 +1,337 @@
+"""Compiled model and simulation state pytrees.
+
+The TPU-native inversion of the reference's PyMJCF object graph (see
+SURVEY.md §7): compile-time Python builds an immutable `Model` — a pytree of
+device arrays describing the kinematic tree, joints, geoms, sites, actuators,
+tendons, equality constraints and candidate contact pairs — and runtime is
+pure jitted functions `(Model, Data) -> Data` that batch with vmap and shard
+with pjit/shard_map.
+
+Conventions follow MuJoCo where a convention is needed (quaternions (w,x,y,z),
+qpos/qvel layouts, solref/solimp constraint parametrization) so that reference
+rollouts can be compared within tolerance, but the implementation is
+independent, JAX-first code.
+
+Structural fields (counts, index tables, names) are static aux-data stored as
+nested tuples: they determine trace-time control flow and jit cache keys.
+Numeric parameters are array leaves so models remain differentiable and
+donate/shard cleanly.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from dexterity_tpu.utils.structs import pytree_dataclass, static_field
+
+
+class JointType(enum.IntEnum):
+  FREE = 0
+  BALL = 1
+  SLIDE = 2
+  HINGE = 3
+
+
+class GeomType(enum.IntEnum):
+  PLANE = 0
+  SPHERE = 1
+  CAPSULE = 2
+  ELLIPSOID = 3
+  CYLINDER = 4
+  BOX = 5
+  MESH = 6  # carried for export/viz; collisions use fitted primitives
+
+
+class ActuatorTrn(enum.IntEnum):
+  JOINT = 0
+  TENDON = 1
+
+
+class BiasType(enum.IntEnum):
+  NONE = 0
+  AFFINE = 1
+
+
+class EqType(enum.IntEnum):
+  CONNECT = 0
+  WELD = 1
+  JOINT = 2   # polynomial joint coupling (MPL hands)
+  TENDON = 3  # polynomial tendon coupling (MPL distal joints)
+
+
+class ObjType(enum.IntEnum):
+  """Object types addressable by jacobians/velocity queries.
+
+  Mirrors the subset validated by the reference mapper
+  (dexterity/controllers/mapper.py:52-90): body, geom, site.
+  """
+  BODY = 0
+  GEOM = 1
+  SITE = 2
+
+
+# Number of qpos / qvel entries per joint type.
+QPOS_WIDTH = {JointType.FREE: 7, JointType.BALL: 4,
+              JointType.SLIDE: 1, JointType.HINGE: 1}
+DOF_WIDTH = {JointType.FREE: 6, JointType.BALL: 3,
+             JointType.SLIDE: 1, JointType.HINGE: 1}
+
+
+@pytree_dataclass
+class Option:
+  """Physics options (subset of MuJoCo <option>)."""
+  timestep: jax.Array        # ()
+  gravity: jax.Array         # (3,)
+  # Constraint solver settings (static: control trace-time loop counts).
+  solver_iterations: int = static_field(default=8)
+  ls_iterations: int = static_field(default=8)
+
+
+@pytree_dataclass
+class Model:
+  """Immutable compiled model; a pytree of arrays + static structure."""
+
+  # ---- static structure -------------------------------------------------
+  nq: int = static_field()
+  nv: int = static_field()
+  nu: int = static_field()
+  nbody: int = static_field()
+  njnt: int = static_field()
+  ngeom: int = static_field()
+  nsite: int = static_field()
+  ntendon: int = static_field()
+  neq: int = static_field()
+  nmocap: int = static_field()
+  npair: int = static_field()
+
+  body_parentid: Tuple[int, ...] = static_field()
+  body_jntadr: Tuple[int, ...] = static_field()   # first joint of body or -1
+  body_jntnum: Tuple[int, ...] = static_field()
+  body_dofadr: Tuple[int, ...] = static_field()   # first dof of body or -1
+  body_dofnum: Tuple[int, ...] = static_field()
+  body_mocapid: Tuple[int, ...] = static_field()  # -1 if not mocap
+
+  jnt_type: Tuple[int, ...] = static_field()
+  jnt_bodyid: Tuple[int, ...] = static_field()
+  jnt_qposadr: Tuple[int, ...] = static_field()
+  jnt_dofadr: Tuple[int, ...] = static_field()
+  jnt_limited: Tuple[bool, ...] = static_field()
+
+  dof_bodyid: Tuple[int, ...] = static_field()
+  dof_jntid: Tuple[int, ...] = static_field()
+
+  geom_type: Tuple[int, ...] = static_field()
+  geom_bodyid: Tuple[int, ...] = static_field()
+  geom_condim: Tuple[int, ...] = static_field()
+
+  site_bodyid: Tuple[int, ...] = static_field()
+
+  actuator_trntype: Tuple[int, ...] = static_field()
+  actuator_trnid: Tuple[int, ...] = static_field()
+  actuator_biastype: Tuple[int, ...] = static_field()
+
+  tendon_limited: Tuple[bool, ...] = static_field()
+
+  eq_type: Tuple[int, ...] = static_field()
+  eq_obj1: Tuple[int, ...] = static_field()
+  eq_obj2: Tuple[int, ...] = static_field()
+
+  # Candidate contact pairs, fixed at compile time (geoms are few; broad
+  # phase is compile-time pruning, narrow phase is masked, static-shape).
+  pair_geom1: Tuple[int, ...] = static_field()
+  pair_geom2: Tuple[int, ...] = static_field()
+  pair_condim: Tuple[int, ...] = static_field()
+
+  # Names for debugging / lookup (not used in compute).
+  body_names: Tuple[str, ...] = static_field()
+  jnt_names: Tuple[str, ...] = static_field()
+  geom_names: Tuple[str, ...] = static_field()
+  site_names: Tuple[str, ...] = static_field()
+  actuator_names: Tuple[str, ...] = static_field()
+  tendon_names: Tuple[str, ...] = static_field()
+
+  # ---- options ----------------------------------------------------------
+  opt: Option
+
+  # ---- array parameters ---------------------------------------------------
+  qpos0: jax.Array           # (nq,) reference configuration
+  body_pos: jax.Array        # (nbody, 3)
+  body_quat: jax.Array       # (nbody, 4)
+  body_ipos: jax.Array       # (nbody, 3)
+  body_iquat: jax.Array      # (nbody, 4)
+  body_mass: jax.Array       # (nbody,)
+  body_inertia: jax.Array    # (nbody, 3) principal moments
+
+  jnt_pos: jax.Array         # (njnt, 3)
+  jnt_axis: jax.Array        # (njnt, 3)
+  jnt_range: jax.Array       # (njnt, 2)
+  jnt_solref: jax.Array      # (njnt, 2)
+  jnt_solimp: jax.Array      # (njnt, 5)
+  jnt_margin: jax.Array      # (njnt,)
+
+  dof_damping: jax.Array     # (nv,)
+  dof_armature: jax.Array    # (nv,)
+  dof_frictionloss: jax.Array  # (nv,)
+
+  geom_pos: jax.Array        # (ngeom, 3)
+  geom_quat: jax.Array       # (ngeom, 4)
+  geom_size: jax.Array       # (ngeom, 3)
+  geom_friction: jax.Array   # (ngeom, 3) slide, torsion, roll
+  geom_solref: jax.Array     # (ngeom, 2)
+  geom_solimp: jax.Array     # (ngeom, 5)
+  geom_margin: jax.Array     # (ngeom,)
+
+  site_pos: jax.Array        # (nsite, 3)
+  site_quat: jax.Array       # (nsite, 4)
+
+  actuator_gainprm: jax.Array    # (nu, 3)
+  actuator_biasprm: jax.Array    # (nu, 3)
+  actuator_ctrlrange: jax.Array  # (nu, 2)
+  actuator_forcerange: jax.Array  # (nu, 2)  (+/-inf when unlimited)
+  actuator_gear: jax.Array       # (nu,)
+
+  tendon_moment: jax.Array   # (ntendon, nv) fixed-tendon coefficient matrix
+  tendon_range: jax.Array    # (ntendon, 2)
+  tendon_solref: jax.Array   # (ntendon, 2)
+  tendon_solimp: jax.Array   # (ntendon, 5)
+  tendon_margin: jax.Array   # (ntendon,)
+
+  eq_data: jax.Array         # (neq, 11)
+  eq_solref: jax.Array       # (neq, 2)
+  eq_solimp: jax.Array       # (neq, 5)
+
+  pair_friction: jax.Array   # (npair, 3)
+  pair_solref: jax.Array     # (npair, 2)
+  pair_solimp: jax.Array     # (npair, 5)
+  pair_margin: jax.Array     # (npair,)
+
+  def id_by_name(self, kind: str, name: str) -> int:
+    names = getattr(self, f'{kind}_names')
+    return names.index(name)
+
+
+@pytree_dataclass
+class Contact:
+  """Static-shape batch of contact points (one per candidate pair slot)."""
+  dist: jax.Array      # (npoint,) signed distance (penetration < 0)
+  pos: jax.Array       # (npoint, 3) midpoint position
+  frame: jax.Array     # (npoint, 3, 3) rows: normal, tangent1, tangent2
+  geom1: jax.Array     # (npoint,) int
+  geom2: jax.Array     # (npoint,) int
+
+
+@pytree_dataclass
+class Data:
+  """Simulation state + forward-pass products for one environment instance.
+
+  Batched by vmap over the leading axis of every leaf.
+  """
+
+  # ---- state --------------------------------------------------------------
+  time: jax.Array            # ()
+  qpos: jax.Array            # (nq,)
+  qvel: jax.Array            # (nv,)
+  ctrl: jax.Array            # (nu,)
+  qfrc_applied: jax.Array    # (nv,)
+  xfrc_applied: jax.Array    # (nbody, 6) world-frame force/torque at body COM
+  mocap_pos: jax.Array       # (nmocap, 3)
+  mocap_quat: jax.Array      # (nmocap, 4)
+
+  # ---- forward products -----------------------------------------------------
+  xpos: jax.Array            # (nbody, 3) frame origin
+  xquat: jax.Array           # (nbody, 4)
+  xipos: jax.Array           # (nbody, 3) COM position
+  ximat: jax.Array           # (nbody, 3, 3) inertia frame orientation
+  site_xpos: jax.Array       # (nsite, 3)
+  site_xmat: jax.Array       # (nsite, 3, 3)
+  geom_xpos: jax.Array       # (ngeom, 3)
+  geom_xmat: jax.Array       # (ngeom, 3, 3)
+
+  cdof: jax.Array            # (nv, 6) dof spatial axes: rows [ang(3), lin(3)]
+  cvel: jax.Array            # (nbody, 6) body COM spatial velocity [ang, lin]
+
+  qM: jax.Array              # (nv, nv) dense joint-space inertia
+  qLD: jax.Array             # (nv, nv) Cholesky factor of qM (+armature)
+  qfrc_bias: jax.Array       # (nv,)
+  qfrc_passive: jax.Array    # (nv,)
+  qfrc_actuator: jax.Array   # (nv,)
+  qfrc_constraint: jax.Array  # (nv,)
+  qacc_smooth: jax.Array     # (nv,)
+  qacc: jax.Array            # (nv,)
+
+  ten_length: jax.Array      # (ntendon,)
+  ten_velocity: jax.Array    # (ntendon,)
+  actuator_length: jax.Array   # (nu,)
+  actuator_velocity: jax.Array  # (nu,)
+  actuator_force: jax.Array  # (nu,)
+
+  contact: Contact
+
+
+def make_data(model: Model, dtype=np.float64) -> Data:
+  """Creates a zero-initialized Data at the model reference configuration."""
+  import jax.numpy as jnp  # local: keep module import light
+
+  def z(*shape):
+    return jnp.zeros(shape, dtype=dtype)
+
+  nq, nv, nu = model.nq, model.nv, model.nu
+  nbody, nsite, ngeom = model.nbody, model.nsite, model.ngeom
+  npoint = num_contact_points(model)
+  ident = jnp.tile(jnp.array([1.0, 0, 0, 0], dtype=dtype), (nbody, 1))
+  eye3 = jnp.tile(jnp.eye(3, dtype=dtype), (nbody, 1, 1))
+  return Data(
+      time=jnp.asarray(0.0, dtype=dtype),
+      qpos=jnp.asarray(model.qpos0, dtype=dtype),
+      qvel=z(nv), ctrl=z(nu), qfrc_applied=z(nv),
+      xfrc_applied=z(nbody, 6),
+      mocap_pos=z(model.nmocap, 3),
+      mocap_quat=jnp.tile(jnp.array([1.0, 0, 0, 0], dtype=dtype),
+                          (model.nmocap, 1)),
+      xpos=z(nbody, 3), xquat=ident, xipos=z(nbody, 3), ximat=eye3,
+      site_xpos=z(nsite, 3),
+      site_xmat=jnp.tile(jnp.eye(3, dtype=dtype), (nsite, 1, 1)),
+      geom_xpos=z(ngeom, 3),
+      geom_xmat=jnp.tile(jnp.eye(3, dtype=dtype), (ngeom, 1, 1)),
+      cdof=z(nv, 6), cvel=z(nbody, 6),
+      qM=z(nv, nv), qLD=z(nv, nv),
+      qfrc_bias=z(nv), qfrc_passive=z(nv), qfrc_actuator=z(nv),
+      qfrc_constraint=z(nv), qacc_smooth=z(nv), qacc=z(nv),
+      ten_length=z(model.ntendon), ten_velocity=z(model.ntendon),
+      actuator_length=z(nu), actuator_velocity=z(nu), actuator_force=z(nu),
+      contact=Contact(
+          dist=jnp.full((npoint,), 1e10, dtype=dtype),
+          pos=z(npoint, 3),
+          frame=jnp.tile(jnp.eye(3, dtype=dtype), (npoint, 1, 1)),
+          geom1=-jnp.ones((npoint,), dtype=jnp.int32),
+          geom2=-jnp.ones((npoint,), dtype=jnp.int32),
+      ),
+  )
+
+
+# Max contact points generated per candidate geom pair, by the pair's
+# (type1, type2).  Plane/box and box/box pairs produce multiple points.
+def max_points_per_pair(type1: int, type2: int) -> int:
+  t1, t2 = sorted((int(type1), int(type2)))
+  box = int(GeomType.BOX)
+  plane = int(GeomType.PLANE)
+  if (t1, t2) == (plane, box):
+    return 4
+  if (t1, t2) == (box, box):
+    return 8
+  if t2 == box:  # sphere/capsule/etc vs box
+    return 2 if t1 == int(GeomType.CAPSULE) else 1
+  if t1 == plane and t2 == int(GeomType.CAPSULE):
+    return 2
+  return 1
+
+
+def num_contact_points(model: Model) -> int:
+  n = 0
+  for g1, g2 in zip(model.pair_geom1, model.pair_geom2):
+    n += max_points_per_pair(model.geom_type[g1], model.geom_type[g2])
+  return max(n, 1)

@@ -1,0 +1,224 @@
+"""Forward kinematics and velocity propagation.
+
+Pure functions `(Model, Data) -> Data` with the kinematic-tree loops unrolled
+at trace time (bodies number in the tens; XLA folds the unrolled graph).  All
+spatial quantities use world-frame Plücker coordinates about the world origin:
+motion vectors are [angular(3), linear-velocity-of-origin-coincident-point(3)]
+and force vectors are [torque-about-origin(3), force(3)].
+
+This module replaces the reference's per-call `mj_kinematics`/`mj_comPos`/
+`mj_comVel`/`mj_objectVelocity` C entry points (reference call sites:
+dexterity/inverse_kinematics/ik_solver.py:245-255,
+dexterity/utils/mujoco_utils.py:10-35).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dexterity_tpu.core.types import Data, JointType, Model
+from dexterity_tpu.physics import math as tmath
+
+
+def _joint_local_qpos(model: Model, ji: int, qpos: jax.Array):
+  adr = model.jnt_qposadr[ji]
+  jtype = JointType(model.jnt_type[ji])
+  if jtype == JointType.FREE:
+    return qpos[adr:adr + 3], qpos[adr + 3:adr + 7]
+  if jtype == JointType.BALL:
+    return None, qpos[adr:adr + 4]
+  return qpos[adr], None
+
+
+def fwd_position(model: Model, data: Data) -> Data:
+  """Computes body/site/geom world poses, dof axes and tendon lengths."""
+  qpos = data.qpos
+
+  xpos = [jnp.zeros(3)]
+  xquat = [jnp.array([1.0, 0.0, 0.0, 0.0], dtype=qpos.dtype)]
+
+  # Per-dof world axis (cdof) pieces, filled in body order.
+  cdof_rows = [None] * model.nv
+
+  for b in range(1, model.nbody):
+    parent = model.body_parentid[b]
+    mocapid = model.body_mocapid[b]
+    if mocapid >= 0:
+      pos, quat = data.mocap_pos[mocapid], data.mocap_quat[mocapid]
+      xpos.append(pos)
+      xquat.append(quat)
+      continue
+
+    # Frame from parent.
+    pos, quat = tmath.pose_mul(xpos[parent], xquat[parent],
+                               model.body_pos[b], model.body_quat[b])
+
+    jadr, jnum = model.body_jntadr[b], model.body_jntnum[b]
+    for k in range(jnum):
+      ji = jadr + k
+      jtype = JointType(model.jnt_type[ji])
+      dadr = model.jnt_dofadr[ji]
+      if jtype == JointType.FREE:
+        pos = qpos[model.jnt_qposadr[ji]:model.jnt_qposadr[ji] + 3]
+        quat = tmath.quat_normalize(
+            qpos[model.jnt_qposadr[ji] + 3:model.jnt_qposadr[ji] + 7])
+        # 3 translational dofs (world axes), 3 rotational (world axes,
+        # anchored at the body frame origin = joint anchor).
+        # Translation dofs: world axes.  Rotation dofs: body-frame axes
+        # rotated to world, anchored at the body frame origin (empirically
+        # matches MuJoCo's free-joint convention; see tools/check_smooth.py).
+        for a in range(3):
+          e = jnp.zeros(3, qpos.dtype).at[a].set(1.0)
+          cdof_rows[dadr + a] = jnp.concatenate([jnp.zeros(3, qpos.dtype), e])
+        for a in range(3):
+          e = jnp.zeros(3, qpos.dtype).at[a].set(1.0)
+          axis_w = tmath.quat_rotate(quat, e)
+          cdof_rows[dadr + 3 + a] = jnp.concatenate(
+              [axis_w, jnp.cross(axis_w, -pos)])
+      elif jtype == JointType.BALL:
+        q_j = tmath.quat_normalize(
+            qpos[model.jnt_qposadr[ji]:model.jnt_qposadr[ji] + 4])
+        anchor = tmath.transform_point(pos, quat, model.jnt_pos[ji])
+        quat_new = tmath.quat_mul(quat, q_j)
+        pos = anchor - tmath.quat_rotate(quat_new, model.jnt_pos[ji])
+        quat = quat_new
+        # Ball dof axes: child-frame unit axes rotated to world.
+        for a in range(3):
+          e = jnp.zeros(3, qpos.dtype).at[a].set(1.0)
+          axis_w = tmath.quat_rotate(quat, e)
+          cdof_rows[dadr + a] = jnp.concatenate(
+              [axis_w, jnp.cross(axis_w, -anchor)])
+      else:
+        angle_or_disp = qpos[model.jnt_qposadr[ji]]
+        axis_local = model.jnt_axis[ji]
+        if jtype == JointType.HINGE:
+          axis_w = tmath.quat_rotate(quat, axis_local)
+          anchor = tmath.transform_point(pos, quat, model.jnt_pos[ji])
+          dq = tmath.axis_angle_to_quat(axis_local, angle_or_disp)
+          quat_new = tmath.quat_mul(quat, dq)
+          pos = anchor - tmath.quat_rotate(quat_new, model.jnt_pos[ji])
+          quat = quat_new
+          cdof_rows[dadr] = jnp.concatenate(
+              [axis_w, jnp.cross(axis_w, -anchor)])
+        else:  # SLIDE
+          axis_w = tmath.quat_rotate(quat, axis_local)
+          pos = pos + axis_w * angle_or_disp
+          cdof_rows[dadr] = jnp.concatenate(
+              [jnp.zeros(3, qpos.dtype), axis_w])
+
+    xpos.append(pos)
+    xquat.append(quat)
+
+  xpos = jnp.stack(xpos)
+  xquat = jnp.stack(xquat)
+  xmat = tmath.quat_to_mat(xquat)
+
+  # Inertial frames.
+  xipos = xpos + jnp.einsum('bij,bj->bi', xmat, model.body_ipos)
+  ximat = jnp.einsum('bij,bjk->bik', xmat, tmath.quat_to_mat(model.body_iquat))
+
+  # Sites and geoms.
+  sb = np.asarray(model.site_bodyid, dtype=np.int32)
+  site_xpos = xpos[sb] + jnp.einsum('sij,sj->si', xmat[sb], model.site_pos)
+  site_xmat = jnp.einsum('sij,sjk->sik', xmat[sb],
+                         tmath.quat_to_mat(model.site_quat))
+  gb = np.asarray(model.geom_bodyid, dtype=np.int32)
+  geom_xpos = xpos[gb] + jnp.einsum('gij,gj->gi', xmat[gb], model.geom_pos)
+  geom_xmat = jnp.einsum('gij,gjk->gik', xmat[gb],
+                         tmath.quat_to_mat(model.geom_quat))
+
+  cdof = (jnp.stack(cdof_rows) if model.nv
+          else jnp.zeros((0, 6), qpos.dtype))
+
+  # Fixed-tendon lengths: coef @ qpos gathered at scalar-dof addresses.
+  if model.ntendon:
+    dof_qposadr = _dof_qposadr(model)
+    ten_length = model.tendon_moment @ qpos[dof_qposadr]
+  else:
+    ten_length = jnp.zeros((0,), qpos.dtype)
+
+  return data.replace(
+      xpos=xpos, xquat=xquat, xipos=xipos, ximat=ximat,
+      site_xpos=site_xpos, site_xmat=site_xmat,
+      geom_xpos=geom_xpos, geom_xmat=geom_xmat,
+      cdof=cdof, ten_length=ten_length)
+
+
+def _dof_qposadr(model: Model) -> np.ndarray:
+  """qpos address per dof (valid for scalar-joint dofs; 0 otherwise)."""
+  out = np.zeros(model.nv, dtype=np.int32)
+  for ji in range(model.njnt):
+    if model.jnt_type[ji] in (int(JointType.HINGE), int(JointType.SLIDE)):
+      out[model.jnt_dofadr[ji]] = model.jnt_qposadr[ji]
+  return out
+
+
+def ancestor_mask(model: Model) -> np.ndarray:
+  """(nbody, nv) 0/1 mask: mask[b, i] = dof i is an ancestor dof of body b."""
+  mask = np.zeros((model.nbody, model.nv), dtype=np.float64)
+  for b in range(1, model.nbody):
+    i = b
+    while i != 0:
+      if model.body_dofnum[i]:
+        adr = model.body_dofadr[i]
+        mask[b, adr:adr + model.body_dofnum[i]] = 1.0
+      i = model.body_parentid[i]
+  return mask
+
+
+def fwd_velocity_kinematics(model: Model, data: Data) -> Data:
+  """Computes body spatial velocities (cvel) and tendon/actuator velocities."""
+  qvel = data.qvel
+  # cvel[b] = sum of ancestor cdof * qvel — one matmul via the ancestor mask.
+  mask = jnp.asarray(ancestor_mask(model))
+  weighted = data.cdof * qvel[:, None]           # (nv, 6)
+  cvel = mask @ weighted                          # (nbody, 6)
+
+  ten_velocity = (model.tendon_moment @ qvel if model.ntendon
+                  else jnp.zeros((0,), qvel.dtype))
+  return data.replace(cvel=cvel, ten_velocity=ten_velocity)
+
+
+def point_velocity(data: Data, bodyid_cvel: jax.Array, point: jax.Array):
+  """Linear/angular world velocity of a body-fixed point.
+
+  Args:
+    bodyid_cvel: (6,) spatial velocity row (data.cvel[bodyid]).
+    point: (3,) world coordinates.
+
+  Returns:
+    (linvel(3), angvel(3)) — the [lin, ang] ordering the reference's
+    `get_site_velocity` returns (dexterity/utils/mujoco_utils.py:10-35).
+  """
+  ang = bodyid_cvel[:3]
+  lin = bodyid_cvel[3:] + jnp.cross(ang, point)
+  return lin, ang
+
+
+def jac_point(model: Model, data: Data, bodyid: int, point: jax.Array):
+  """Translational & rotational Jacobians of a world point on body `bodyid`.
+
+  TPU-native replacement for `compute_object_6d_jacobian`
+  (reference: dexterity/utils/mujoco_utils.py:38-75).
+
+  Returns:
+    jacp: (3, nv), jacr: (3, nv).
+  """
+  mask = jnp.asarray(ancestor_mask(model)[bodyid])  # (nv,)
+  ang = data.cdof[:, :3]                             # (nv, 3)
+  lin = data.cdof[:, 3:] + jnp.cross(ang, point[None, :])
+  jacp = (lin * mask[:, None]).T
+  jacr = (ang * mask[:, None]).T
+  return jacp, jacr
+
+
+def site_jacobian(model: Model, data: Data, site_ids) -> jax.Array:
+  """Stacked 3xnv position Jacobians for sites (static id list)."""
+  jacs = []
+  for sid in site_ids:
+    bodyid = model.site_bodyid[sid]
+    jacp, _ = jac_point(model, data, bodyid, data.site_xpos[sid])
+    jacs.append(jacp)
+  return jnp.concatenate(jacs, axis=0)
