@@ -315,8 +315,13 @@ def make_data(model: Model, dtype=np.float64) -> Data:
 
 # Max contact points generated per candidate geom pair, by the pair's
 # (type1, type2).  Plane/box and box/box pairs produce multiple points.
+# Cylinders collide as capsules (rounded-cap approximation).
+def collision_type(t: int) -> int:
+  return int(GeomType.CAPSULE) if int(t) == int(GeomType.CYLINDER) else int(t)
+
+
 def max_points_per_pair(type1: int, type2: int) -> int:
-  t1, t2 = sorted((int(type1), int(type2)))
+  t1, t2 = sorted((collision_type(type1), collision_type(type2)))
   box = int(GeomType.BOX)
   plane = int(GeomType.PLANE)
   if (t1, t2) == (plane, box):

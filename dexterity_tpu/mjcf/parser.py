@@ -41,12 +41,18 @@ def _floats(s: str) -> np.ndarray:
 
 
 class _Defaults:
-  """Resolved default-class attribute maps, per element tag."""
+  """Resolved default-class attribute maps, per element tag.
+
+  MJCF class names are globally unique, so every named class registers in a
+  shared registry; `resolve` looks the name up there (classes are usable
+  from any scope, matching MuJoCo semantics).
+  """
 
   def __init__(self, parent: Optional['_Defaults'] = None):
     self.by_tag: Dict[str, Dict[str, str]] = (
         {k: dict(v) for k, v in parent.by_tag.items()} if parent else {})
-    self.children: Dict[str, '_Defaults'] = {}
+    self.registry: Dict[str, '_Defaults'] = (
+        parent.registry if parent else {})
 
   def absorb(self, elem: ET.Element):
     for child in elem:
@@ -54,10 +60,7 @@ class _Defaults:
         name = child.get('class')
         sub = _Defaults(self)
         sub.absorb(child)
-        self.children[name] = sub
-        # Nested classes are visible from anywhere by name.
-        for gname, gdef in sub.children.items():
-          self.children[gname] = gdef
+        self.registry[name] = sub
       else:
         merged = self.by_tag.setdefault(child.tag, {})
         merged.update(child.attrib)
@@ -65,8 +68,8 @@ class _Defaults:
   def resolve(self, class_name: Optional[str]) -> '_Defaults':
     if class_name is None:
       return self
-    if class_name in self.children:
-      return self.children[class_name]
+    if class_name in self.registry:
+      return self.registry[class_name]
     raise KeyError(f'unknown default class {class_name!r}')
 
 

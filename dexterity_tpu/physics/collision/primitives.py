@@ -1,0 +1,297 @@
+"""Vectorized primitive narrow-phase collision.
+
+Candidate pairs are static (Model.pair_*).  At trace time pairs are grouped
+by (type1, type2); each group runs one vmapped kernel over its pair batch and
+results scatter into fixed contact-slot rows.  Everything is static-shape:
+inactive contacts simply report positive distance and are masked by the
+constraint solver's impedance.
+
+Conventions (MuJoCo-compatible): contact normal points from geom1 into
+geom2; dist < 0 means penetration; frame rows are [normal, tangent1,
+tangent2].
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dexterity_tpu.core.types import Contact, Data, GeomType, Model
+from dexterity_tpu.core.types import max_points_per_pair, num_contact_points
+
+_BIG = 1e10
+
+
+def _tangent_frame(normal: jax.Array) -> jax.Array:
+  """(…,3) normal -> (…,3,3) frame rows [n, t1, t2]."""
+  n = normal
+  # Pick the axis least aligned with n for a stable tangent.
+  ref = jnp.where(jnp.abs(n[..., 0:1]) < 0.5,
+                  jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], n.dtype), n.shape),
+                  jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], n.dtype), n.shape))
+  t1 = jnp.cross(n, ref)
+  t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-12)
+  t2 = jnp.cross(n, t1)
+  return jnp.stack([n, t1, t2], axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# Pairwise kernels.  Each takes world-frame (pos, mat, size) for both geoms
+# and returns (dist(k,), pos(k,3), normal(k,3)) with a fixed point count k.
+# ---------------------------------------------------------------------------
+
+
+def _plane_sphere(p1, m1, s1, p2, m2, s2):
+  n = m1[:, 2]
+  d = jnp.dot(p2 - p1, n) - s2[0]
+  pos = p2 - n * (s2[0] + 0.5 * d)
+  return d[None], pos[None], n[None]
+
+
+def _plane_capsule(p1, m1, s1, p2, m2, s2):
+  n = m1[:, 2]
+  axis = m2[:, 2]
+  ends = jnp.stack([p2 + axis * s2[1], p2 - axis * s2[1]])
+  d = ends @ n - jnp.dot(p1, n) - s2[0]
+  pos = ends - n * (s2[0] + 0.5 * d)[:, None]
+  return d, pos, jnp.broadcast_to(n, (2, 3))
+
+
+def _plane_box(p1, m1, s1, p2, m2, s2):
+  n = m1[:, 2]
+  # 4 deepest corners of the box along -n.
+  corners = jnp.asarray(np.array(
+      [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+      dtype=np.float64))
+  pts = p2 + (corners * s2) @ m2.T                       # (8, 3)
+  d = pts @ n - jnp.dot(p1, n)
+  order = jnp.argsort(d)
+  idx = order[:4]
+  dd = d[idx]
+  pos = pts[idx] - n * (0.5 * dd)[:, None]
+  return dd, pos, jnp.broadcast_to(n, (4, 3))
+
+
+def _sphere_sphere(p1, m1, s1, p2, m2, s2):
+  delta = p2 - p1
+  dist = jnp.linalg.norm(delta)
+  n = delta / jnp.maximum(dist, 1e-12)
+  d = dist - s1[0] - s2[0]
+  pos = p1 + n * (s1[0] + 0.5 * d)
+  return d[None], pos[None], n[None]
+
+
+def _closest_on_segment(a, b, p):
+  ab = b - a
+  t = jnp.clip(jnp.dot(p - a, ab) / jnp.maximum(jnp.dot(ab, ab), 1e-12), 0, 1)
+  return a + t * ab
+
+
+def _sphere_capsule(p1, m1, s1, p2, m2, s2):
+  axis = m2[:, 2]
+  a, b = p2 - axis * s2[1], p2 + axis * s2[1]
+  c = _closest_on_segment(a, b, p1)
+  delta = c - p1
+  dist = jnp.linalg.norm(delta)
+  n = delta / jnp.maximum(dist, 1e-12)
+  d = dist - s1[0] - s2[0]
+  pos = p1 + n * (s1[0] + 0.5 * d)
+  return d[None], pos[None], n[None]
+
+
+def _capsule_capsule(p1, m1, s1, p2, m2, s2):
+  u1, u2 = m1[:, 2], m2[:, 2]
+  a1, b1 = p1 - u1 * s1[1], p1 + u1 * s1[1]
+  a2, b2 = p2 - u2 * s2[1], p2 + u2 * s2[1]
+  # Closest points between segments (standard clamped solve).
+  d1 = b1 - a1
+  d2 = b2 - a2
+  r = a1 - a2
+  a = jnp.dot(d1, d1)
+  e = jnp.dot(d2, d2)
+  f = jnp.dot(d2, r)
+  c = jnp.dot(d1, r)
+  b = jnp.dot(d1, d2)
+  denom = a * e - b * b
+  s = jnp.clip(jnp.where(denom > 1e-12, (b * f - c * e) / denom, 0.0), 0, 1)
+  t = (b * s + f) / jnp.maximum(e, 1e-12)
+  t_cl = jnp.clip(t, 0, 1)
+  s = jnp.clip((b * t_cl - c) / jnp.maximum(a, 1e-12), 0, 1)
+  pa = a1 + d1 * s
+  pb = a2 + d2 * t_cl
+  delta = pb - pa
+  dist = jnp.linalg.norm(delta)
+  n = delta / jnp.maximum(dist, 1e-12)
+  d = dist - s1[0] - s2[0]
+  pos = pa + n * (s1[0] + 0.5 * d)
+  return d[None], pos[None], n[None]
+
+
+def _sphere_box(p1, m1, s1, p2, m2, s2):
+  local = m2.T @ (p1 - p2)
+  clamped = jnp.clip(local, -s2, s2)
+  inside = jnp.all(jnp.abs(local) < s2)
+  # Outside: closest surface point; inside: push out through nearest face.
+  face_dist = s2 - jnp.abs(local)
+  ax = jnp.argmin(face_dist)
+  sign = jnp.sign(local[ax])
+  sign = jnp.where(sign == 0, 1.0, sign)
+  inside_pt = clamped.at[ax].set(sign * s2[ax])
+  surf_local = jnp.where(inside, inside_pt, clamped)
+  surf = p2 + m2 @ surf_local
+  delta = surf - p1
+  dist_out = jnp.linalg.norm(delta)
+  n_out = delta / jnp.maximum(dist_out, 1e-12)
+  n_in = -(m2 @ (jnp.zeros(3).at[ax].set(sign)))
+  n = jnp.where(inside, n_in, n_out)
+  d = jnp.where(inside, -(face_dist[ax]) - s1[0], dist_out - s1[0])
+  pos = p1 + n * (s1[0] + 0.5 * d)
+  return d[None], pos[None], n[None]
+
+
+def _capsule_box(p1, m1, s1, p2, m2, s2):
+  # Two sphere-box tests at the capsule's deepest end candidates plus the
+  # segment-closest point; keep the 2 deepest.
+  axis = m1[:, 2]
+  ends = [p1 - axis * s1[1], p1 + axis * s1[1]]
+  # Closest point on segment to box center as a third candidate.
+  mid = _closest_on_segment(ends[0], ends[1], p2)
+  cands = jnp.stack(ends + [mid])
+  ds, ps, ns = [], [], []
+  for i in range(3):
+    d, p, n = _sphere_box(cands[i], m1, s1, p2, m2, s2)
+    ds.append(d[0])
+    ps.append(p[0])
+    ns.append(n[0])
+  d = jnp.stack(ds)
+  p = jnp.stack(ps)
+  n = jnp.stack(ns)
+  order = jnp.argsort(d)
+  idx = order[:2]
+  return d[idx], p[idx], n[idx]
+
+
+def _box_box(p1, m1, s1, p2, m2, s2):
+  """Vertex-face contacts both ways; keeps the 8 deepest of 16 candidates.
+
+  A full SAT with edge-edge manifolds is planned as a later refinement; for
+  the dexterity tasks (cube against fitted palm/finger boxes) vertex-face
+  dominates.
+  """
+  corners = jnp.asarray(np.array(
+      [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+      dtype=np.float64))
+
+  def verts_into_box(pv, mv, sv, pb, mb, sb, flip):
+    pts = pv + (corners * sv) @ mv.T                     # (8,3) world verts
+    local = (pts - pb) @ mb                               # into box frame
+    face_dist = sb - jnp.abs(local)                       # (8,3)
+    inside = jnp.all(face_dist > 0, axis=1)
+    ax = jnp.argmin(face_dist, axis=1)
+    sign = jnp.sign(jnp.take_along_axis(local, ax[:, None], 1))[:, 0]
+    sign = jnp.where(sign == 0, 1.0, sign)
+    depth = jnp.take_along_axis(face_dist, ax[:, None], 1)[:, 0]
+    d = jnp.where(inside, -depth, _BIG)
+    # Normal: outward box face normal; orient from geom1 to geom2.
+    face_n = jnp.take_along_axis(
+        jnp.broadcast_to(mb.T[None], (8, 3, 3)), ax[:, None, None], 1)[:, 0]
+    n = face_n * sign[:, None]
+    n = jnp.where(flip, n, -n)
+    pos = pts
+    return d, pos, n
+
+  d1, pos1, n1 = verts_into_box(p1, m1, s1, p2, m2, s2, flip=True)
+  d2, pos2, n2 = verts_into_box(p2, m2, s2, p1, m1, s1, flip=False)
+  d = jnp.concatenate([d1, d2])
+  pos = jnp.concatenate([pos1, pos2])
+  n = jnp.concatenate([n1, n2])
+  idx = jnp.argsort(d)[:8]
+  return d[idx], pos[idx], n[idx]
+
+
+_KERNELS = {
+    (GeomType.PLANE, GeomType.SPHERE): (_plane_sphere, 1),
+    (GeomType.PLANE, GeomType.CAPSULE): (_plane_capsule, 2),
+    (GeomType.PLANE, GeomType.BOX): (_plane_box, 4),
+    (GeomType.SPHERE, GeomType.SPHERE): (_sphere_sphere, 1),
+    (GeomType.SPHERE, GeomType.CAPSULE): (_sphere_capsule, 1),
+    (GeomType.SPHERE, GeomType.BOX): (_sphere_box, 1),
+    (GeomType.CAPSULE, GeomType.CAPSULE): (_capsule_capsule, 1),
+    (GeomType.CAPSULE, GeomType.BOX): (_capsule_box, 2),
+    (GeomType.BOX, GeomType.BOX): (_box_box, 8),
+}
+
+
+def _pair_groups(model: Model):
+  """Groups candidate pairs by ordered type pair; returns static tables."""
+  groups: Dict[Tuple[int, int], Dict[str, List[int]]] = {}
+  row = 0
+  from dexterity_tpu.core.types import collision_type
+  for i in range(model.npair):
+    g1, g2 = model.pair_geom1[i], model.pair_geom2[i]
+    t1 = collision_type(model.geom_type[g1])
+    t2 = collision_type(model.geom_type[g2])
+    if t1 > t2:
+      g1, g2 = g2, g1
+      t1, t2 = t2, t1
+    npoints = max_points_per_pair(t1, t2)
+    key = (GeomType(t1), GeomType(t2))
+    grp = groups.setdefault(key, {'pair': [], 'g1': [], 'g2': [], 'row': []})
+    grp['pair'].append(i)
+    grp['g1'].append(g1)
+    grp['g2'].append(g2)
+    grp['row'].append(row)
+    row += npoints
+  return groups, row
+
+
+def collide_all(model: Model, data: Data) -> Data:
+  groups, total_rows = _pair_groups(model)
+  dtype = data.qpos.dtype
+
+  dist = jnp.full((total_rows,), _BIG, dtype)
+  pos = jnp.zeros((total_rows, 3), dtype)
+  frame = jnp.tile(jnp.eye(3, dtype=dtype), (total_rows, 1, 1))
+  geom1 = np.full(total_rows, -1, np.int32)
+  geom2 = np.full(total_rows, -1, np.int32)
+
+  for (t1, t2), grp in groups.items():
+    if (t1, t2) not in _KERNELS:
+      raise NotImplementedError(f'no collision kernel for {t1} vs {t2}')
+    fn, k = _KERNELS[(t1, t2)]
+    g1 = np.asarray(grp['g1'], np.int32)
+    g2 = np.asarray(grp['g2'], np.int32)
+    p1, m1, s1 = data.geom_xpos[g1], data.geom_xmat[g1], model.geom_size[g1]
+    p2, m2, s2 = data.geom_xpos[g2], data.geom_xmat[g2], model.geom_size[g2]
+    d, p, n = jax.vmap(fn)(p1, m1, s1, p2, m2, s2)   # (npair_g, k, …)
+    rows = np.concatenate(
+        [np.arange(r, r + k) for r in grp['row']]).astype(np.int32)
+    dist = dist.at[rows].set(d.reshape(-1))
+    pos = pos.at[rows].set(p.reshape(-1, 3))
+    frame = frame.at[rows].set(_tangent_frame(n.reshape(-1, 3)))
+    for gi, (a, b) in enumerate(zip(grp['g1'], grp['g2'])):
+      geom1[grp['row'][gi]:grp['row'][gi] + k] = a
+      geom2[grp['row'][gi]:grp['row'][gi] + k] = b
+
+  assert total_rows == num_contact_points(model) or model.npair == 0
+  contact = Contact(dist=dist, pos=pos, frame=frame,
+                    geom1=jnp.asarray(geom1), geom2=jnp.asarray(geom2))
+  return data.replace(contact=contact)
+
+
+def contact_row_table(model: Model):
+  """Static per-contact-row tables: pair index per row.
+
+  Used by the constraint module to attach pair parameters to rows.
+  """
+  groups, total_rows = _pair_groups(model)
+  pair_of_row = np.zeros(total_rows, np.int32)
+  for (t1, t2), grp in groups.items():
+    _, k = _KERNELS[(t1, t2)]
+    for gi, pair_idx in enumerate(grp['pair']):
+      r = grp['row'][gi]
+      pair_of_row[r:r + k] = pair_idx
+  return pair_of_row
