@@ -214,6 +214,7 @@ class OptionSpec:
   gravity: Tuple[float, float, float] = (0.0, 0.0, -9.81)
   solver_iterations: int = 8
   ls_iterations: int = 8
+  contact_top_k: int = 64
 
 
 @dataclasses.dataclass
@@ -228,6 +229,10 @@ class ModelSpec:
   equalities: List[EqualitySpec] = dataclasses.field(default_factory=list)
   pairs: List[PairSpec] = dataclasses.field(default_factory=list)
   excludes: List[ExcludeSpec] = dataclasses.field(default_factory=list)
+  # Pairs dropped by mjcf.prune (sorted (geom1, geom2) name tuples).
+  # A drop-list (not a whitelist) so attach() composition keeps all
+  # cross-entity pairs (e.g. hand vs prop).
+  pruned_pairs: set = dataclasses.field(default_factory=set)
 
   # ---------------------------------------------------------------------
   # Lookup / composition
@@ -274,6 +279,8 @@ class ModelSpec:
     for x in self.excludes:
       x.body1 = prefix + x.body1
       x.body2 = prefix + x.body2
+    self.pruned_pairs = {tuple(sorted((prefix + a, prefix + b)))
+                         for a, b in self.pruned_pairs}
     return self
 
   def attach(self, child: 'ModelSpec', prefix: str = '',
@@ -313,6 +320,7 @@ class ModelSpec:
     self.equalities.extend(child.equalities)
     self.pairs.extend(child.pairs)
     self.excludes.extend(child.excludes)
+    self.pruned_pairs |= child.pruned_pairs
     return self
 
   def add_mocap(self, name: str, pos=(0, 0, 0), quat=(1, 0, 0, 0),
@@ -534,6 +542,7 @@ class ModelSpec:
             gravity=jnp.asarray(np.asarray(self.option.gravity, np.float64)),
             solver_iterations=self.option.solver_iterations,
             ls_iterations=self.option.ls_iterations,
+            contact_top_k=self.option.contact_top_k,
         ),
         qpos0=jnp.asarray(qpos0),
         body_pos=fa(bodies, 'pos', 3), body_quat=fa(bodies, 'quat', 4),
@@ -573,8 +582,11 @@ class ModelSpec:
             np.asarray([p[5] for p in pair_list], np.float64).reshape(-1, 5)),
         pair_margin=jnp.asarray(
             np.asarray([p[6] for p in pair_list], np.float64).reshape(-1)),
+        dof_invweight0=jnp.zeros(nv),
+        body_invweight0=jnp.zeros((len(bodies), 2)),
+        tendon_invweight0=jnp.zeros(len(self.tendons)),
     )
-    return model
+    return _fill_invweight0(model)
 
   def _make_pairs(self, bodies, body_index, body_parentid, geoms, geom_bodyid,
                   geom_index):
@@ -633,17 +645,59 @@ class ModelSpec:
       if not ((spec1.contype & spec2.conaffinity) or
               (spec2.contype & spec1.conaffinity)):
         continue
+      if tuple(sorted((spec1.name, spec2.name))) in self.pruned_pairs:
+        continue
       # Dynamic-pair parameter mixing (MuJoCo mj_contactParam with equal
       # solmix: average solref/solimp, max friction & margin & condim).
       condim = max(spec1.condim, spec2.condim)
       friction = tuple(np.maximum(spec1.friction, spec2.friction))
       solref = tuple((np.asarray(spec1.solref) + np.asarray(spec2.solref)) / 2)
       solimp = tuple((np.asarray(spec1.solimp) + np.asarray(spec2.solimp)) / 2)
-      margin = max(spec1.margin + spec1.gap, spec2.margin + spec2.gap)
+      # includemargin = margin - gap (gap unused by the dexterity models).
+      margin = max(spec1.margin, spec2.margin) - max(spec1.gap, spec2.gap)
       pair_list.append((g1, g2, condim, friction, solref, solimp, margin))
 
     # Order pairs so plane pairs come first (cheap) — cosmetic but stable.
     return pair_list
+
+
+def _fill_invweight0(model: types.Model) -> types.Model:
+  """Computes MuJoCo-style inverse weights at the reference configuration.
+
+  dof_invweight0 = diag(M0^-1); body_invweight0 = mean diagonal of the
+  6x6 inverse spatial inertia J M0^-1 J^T at each body COM (translation /
+  rotation blocks); tendon_invweight0 = m M0^-1 m^T per fixed tendon.
+  These feed the constraint regularizer R = (1-d)/d * invweight
+  (verified against mujoco efc_R; see tools/check_constraint.py).
+  """
+  import jax
+  import jax.numpy as jnp
+  from dexterity_tpu.core import types as T
+
+  def compute(model):
+    from dexterity_tpu.physics import kinematics, smooth
+    data = T.make_data(model)
+    data = kinematics.fwd_position(model, data)
+    data = smooth.crb(model, data)
+    minv = jnp.linalg.inv(data.qM)
+    dof_iw = jnp.diag(minv)
+    jac = smooth.com_jacobians(model, data)      # (nbody, 6, nv)
+    a = jnp.einsum('biv,vw,bjw->bij', jac, minv, jac)
+    rot_iw = jnp.trace(a[:, :3, :3], axis1=1, axis2=2) / 3.0
+    trn_iw = jnp.trace(a[:, 3:, 3:], axis1=1, axis2=2) / 3.0
+    body_iw = jnp.stack([trn_iw, rot_iw], axis=-1)
+    if model.ntendon:
+      ten_iw = jnp.einsum('tv,vw,tw->t', model.tendon_moment, minv,
+                          model.tendon_moment)
+    else:
+      ten_iw = jnp.zeros((0,))
+    return dof_iw, body_iw, ten_iw
+
+  cpu = jax.devices('cpu')[0]
+  with jax.default_device(cpu):
+    dof_iw, body_iw, ten_iw = jax.jit(compute)(model)
+  return model.replace(dof_invweight0=dof_iw, body_invweight0=body_iw,
+                       tendon_invweight0=ten_iw)
 
 
 def _find_parent(root: BodySpec, target: BodySpec) -> BodySpec:

@@ -89,6 +89,8 @@ class Option:
   # Constraint solver settings (static: control trace-time loop counts).
   solver_iterations: int = static_field(default=8)
   ls_iterations: int = static_field(default=8)
+  # Max contact points kept per step (top-K deepest candidates).
+  contact_top_k: int = static_field(default=64)
 
 
 @pytree_dataclass
@@ -208,6 +210,12 @@ class Model:
   pair_solref: jax.Array     # (npair, 2)
   pair_solimp: jax.Array     # (npair, 5)
   pair_margin: jax.Array     # (npair,)
+
+  # Inverse-weight tables at qpos0 (MuJoCo *_invweight0 semantics), used by
+  # the constraint regularizer.  Filled by spec.compile().
+  dof_invweight0: jax.Array   # (nv,)
+  body_invweight0: jax.Array  # (nbody, 2) [translation, rotation]
+  tendon_invweight0: jax.Array  # (ntendon,)
 
   def id_by_name(self, kind: str, name: str) -> int:
     names = getattr(self, f'{kind}_names')

@@ -90,11 +90,16 @@ class MjcfParser:
 
   # -- helpers -----------------------------------------------------------
 
+  # Element tag -> defaults tag (MJCF defaults use <tendon> for fixed/spatial).
+  _DEFAULTS_TAG = {'fixed': 'tendon', 'spatial': 'tendon',
+                   'freejoint': 'joint'}
+
   def _attr(self, elem: ET.Element, defaults: _Defaults, key: str,
             fallback: Optional[str] = None) -> Optional[str]:
     if key in elem.attrib:
       return elem.attrib[key]
-    tag_defaults = defaults.by_tag.get(elem.tag, {})
+    tag = self._DEFAULTS_TAG.get(elem.tag, elem.tag)
+    tag_defaults = defaults.by_tag.get(tag, {})
     return tag_defaults.get(key, fallback)
 
   def _angle(self, value: float) -> float:
@@ -242,10 +247,14 @@ class MjcfParser:
       return
     get = lambda k, fb=None: self._attr(elem, d, k, fb)
     jtype = _JOINT_TYPES[get('type', 'hinge')]
-    rng = get('range')
-    rng = tuple(self._angle(v) for v in _floats(rng)) if rng else (0.0, 0.0)
-    limited_s = get('limited', 'false')
-    limited = (limited_s == 'true') and jtype != JointType.FREE
+    rng_s = get('range')
+    rng = tuple(self._angle(v) for v in _floats(rng_s)) if rng_s else (0.0, 0.0)
+    # MuJoCo autolimits: a specified range implies limited unless
+    # explicitly disabled.
+    limited_s = get('limited', 'auto')
+    limited = (limited_s == 'true'
+               or (limited_s == 'auto' and rng_s is not None))
+    limited = limited and jtype != JointType.FREE
     body.add_joint(
         elem.get('name', f'{body.name}_joint'),
         type=jtype,
@@ -372,11 +381,13 @@ class MjcfParser:
       rng = get('range')
       joints = [(j.get('joint'), float(j.get('coef'))) for j in child
                 if j.tag == 'joint']
+      limited_s = get('limited', 'auto')
       self.spec.tendons.append(S.TendonSpec(
           name=child.get('name'),
           joints=joints,
           range=tuple(_floats(rng)) if rng else (0.0, 0.0),
-          limited=(get('limited', 'false') == 'true') and rng is not None,
+          limited=(limited_s == 'true'
+                   or (limited_s == 'auto' and rng is not None)),
           margin=float(get('margin', '0')),
           solref=tuple(_floats(get('solreflimit', '0.02 1'))),
           solimp=tuple(_floats(get('solimplimit', '0.9 0.95 0.001 0.5 2')))))
@@ -391,8 +402,12 @@ class MjcfParser:
       trntype = ActuatorTrn.JOINT if joint else ActuatorTrn.TENDON
       target = joint or tendon
       name = child.get('name', f'act_{target}')
-      ctrlrange = get('ctrlrange')
-      ctrlrange = tuple(_floats(ctrlrange)) if ctrlrange else (-1.0, 1.0)
+      ctrlrange_s = get('ctrlrange')
+      ctrllimited_s = get('ctrllimited', 'auto')
+      if ctrlrange_s and ctrllimited_s in ('auto', 'true'):
+        ctrlrange = tuple(_floats(ctrlrange_s))
+      else:
+        ctrlrange = (-np.inf, np.inf)  # unlimited control
       forcerange = get('forcerange')
       forcerange = (tuple(_floats(forcerange)) if forcerange
                     else (-np.inf, np.inf))

@@ -1,22 +1,481 @@
-"""Soft-constraint assembly and solver (MuJoCo constraint model).
+"""Soft-constraint assembly and convex Newton solver (MuJoCo semantics).
 
-Constraint rows (equality, friction loss, joint/tendon limits, contacts in a
-pyramidal cone) are assembled with static shapes; inactive rows get zero
-impedance.  The solver minimizes the convex primal objective over qacc with a
-fixed-iteration projected Newton — jit/vmap friendly.
+Row types (static layout, inactive rows masked by zero weight):
+  equality (JOINT / TENDON / CONNECT / WELD)  — bilateral
+  dof frictionloss                            — Huber (force in [-fl, fl])
+  joint limits (2 rows per limited joint)     — unilateral
+  tendon limits (2 rows per limited tendon)   — unilateral
+  contacts: top-K deepest candidate points, pyramidal cone
+            (2*(condim-1) rows per point, or 1 when condim == 1)
 
-Placeholder until the constraint milestone: zero constraint force.
+The parametrization matches MuJoCo exactly (verified numerically against
+mjData.efc_* in tools/check_constraint.py):
+  impedance d(r): solimp spline
+  aref = -B (J qvel) - K d(r) r,  B = 2/(dmax tc), K = d/(dmax^2 tc^2 dr^2)
+  R = (1-d)/d * invweight,  D = 1/R
+with invweight per row type (dof_invweight0, body_invweight0 sums, and the
+pyramid factor 2 mu^2 (1 + mu^2)).
+
+The top-K contact selection is the TPU-native answer to MuJoCo's dynamic
+constraint counts: the narrow phase scores every candidate point (static
+shape), lax.top_k picks the deepest K, and all row data (Jacobians included)
+is gathered dynamically — shapes stay static, XLA stays happy.
+
+Solver: projected Newton on qacc with exact Hessian (M + J^T D_active J),
+Cholesky solve, and backtracking line search — fixed iteration counts from
+Model.opt, vmap/jit friendly.
+
+Reference semantics replaced: mj_fwdConstraint / physics.step C boundary
+(SURVEY.md §2.7, §3.3).
 """
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
+import jax
 import jax.numpy as jnp
+import numpy as np
 
-from dexterity_tpu.core.types import Data, Model
+from dexterity_tpu.core.types import (Data, EqType, JointType, Model,
+                                      num_contact_points)
+from dexterity_tpu.physics import kinematics
+
+# Row-type codes used for cost shaping.
+_BILATERAL = 0
+_FRICTIONLOSS = 1
+_UNILATERAL = 2
 
 
-def solve(model: Model, data: Data, qfrc_smooth) -> Data:
-  del qfrc_smooth
-  return data.replace(
-      qfrc_constraint=jnp.zeros_like(data.qacc_smooth),
-      qacc=data.qacc_smooth)
+class Rows(NamedTuple):
+  J: jax.Array        # (nrow, nv)
+  aref: jax.Array     # (nrow,)
+  d: jax.Array        # (nrow,) impedance (0 for disabled rows)
+  invweight: jax.Array  # (nrow,)
+  fl: jax.Array       # (nrow,) frictionloss bound (only for FL rows)
+  kind: np.ndarray    # (nrow,) static row-type codes
+
+
+def impedance(solimp: jax.Array, r: jax.Array) -> jax.Array:
+  """MuJoCo solimp spline d(r)."""
+  d0, dmax, width, mid, power = (solimp[..., 0], solimp[..., 1],
+                                 solimp[..., 2], solimp[..., 3],
+                                 solimp[..., 4])
+  x = jnp.clip(jnp.abs(r) / jnp.maximum(width, 1e-12), 0.0, 1.0)
+  mid = jnp.clip(mid, 1e-4, 1 - 1e-4)
+  power = jnp.maximum(power, 1.0)
+  y_lo = (x / mid) ** power * mid
+  y_hi = 1.0 - ((1.0 - x) / (1.0 - mid)) ** power * (1.0 - mid)
+  y = jnp.where(x < mid, y_lo, y_hi)
+  return d0 + y * (dmax - d0)
+
+
+def _kbi(solref: jax.Array, solimp: jax.Array, r: jax.Array, vel: jax.Array,
+         timestep) -> tuple[jax.Array, jax.Array]:
+  """Returns (d, aref) for rows with violation r and velocity vel."""
+  d = impedance(solimp, r)
+  dmax = solimp[..., 1]
+  tc, dr = solref[..., 0], solref[..., 1]
+  tc = jnp.maximum(tc, 2.0 * timestep)
+  # Direct parametrization when solref is non-positive.
+  direct = solref[..., 0] <= 0
+  b_std = 2.0 / jnp.maximum(dmax * tc, 1e-12)
+  k_std = d / jnp.maximum(dmax * dmax * tc * tc * dr * dr, 1e-12)
+  b = jnp.where(direct, -solref[..., 1], b_std)
+  k = jnp.where(direct, -solref[..., 0] * d, k_std)
+  aref = -b * vel - k * r
+  return d, aref
+
+
+# ---------------------------------------------------------------------------
+# Row assembly
+# ---------------------------------------------------------------------------
+
+
+def _eq_rows(model: Model, data: Data, dtype):
+  """Equality constraint rows."""
+  js, refs, ds, iws = [], [], [], []
+  h = model.opt.timestep
+  dof_qposadr = kinematics._dof_qposadr(model)
+  for ei in range(model.neq):
+    etype = EqType(model.eq_type[ei])
+    solref = model.eq_solref[ei]
+    solimp = model.eq_solimp[ei]
+    data_e = model.eq_data[ei]
+    if etype == EqType.JOINT:
+      j1 = model.eq_obj1[ei]
+      j2 = model.eq_obj2[ei]
+      a1 = model.jnt_qposadr[j1]
+      d1 = model.jnt_dofadr[j1]
+      q1 = data.qpos[a1] - model.qpos0[a1]
+      if j2 >= 0:
+        a2 = model.jnt_qposadr[j2]
+        d2 = model.jnt_dofadr[j2]
+        q2 = data.qpos[a2] - model.qpos0[a2]
+      else:
+        q2 = jnp.zeros((), dtype)
+      powers = jnp.stack([q2 ** k for k in range(5)])
+      poly = jnp.dot(data_e[:5], powers)
+      dpoly = jnp.dot(data_e[1:5],
+                      jnp.stack([(k + 1) * q2 ** k for k in range(4)]))
+      res = q1 - poly
+      row = jnp.zeros(model.nv, dtype).at[d1].set(1.0)
+      vel = data.qvel[d1]
+      if j2 >= 0:
+        row = row.at[d2].add(-dpoly)
+        vel = vel - dpoly * data.qvel[d2]
+      dd, aref = _kbi(solref, solimp, res, vel, h)
+      js.append(row)
+      refs.append(aref)
+      ds.append(dd)
+      iw = model.dof_invweight0[d1]
+      if j2 >= 0:
+        iw = iw + model.dof_invweight0[d2]
+      iws.append(iw)
+    elif etype == EqType.TENDON:
+      t1 = model.eq_obj1[ei]
+      t2 = model.eq_obj2[ei]
+      ref0 = model.tendon_moment @ model.qpos0[dof_qposadr]
+      l1 = data.ten_length[t1] - ref0[t1]
+      row = model.tendon_moment[t1]
+      vel = data.ten_velocity[t1]
+      iw = model.tendon_invweight0[t1]
+      if t2 >= 0:
+        l2 = data.ten_length[t2] - ref0[t2]
+        powers = jnp.stack([l2 ** k for k in range(5)])
+        poly = jnp.dot(data_e[:5], powers)
+        dpoly = jnp.dot(data_e[1:5],
+                        jnp.stack([(k + 1) * l2 ** k for k in range(4)]))
+        res = l1 - poly
+        row = row - dpoly * model.tendon_moment[t2]
+        vel = vel - dpoly * data.ten_velocity[t2]
+        iw = iw + model.tendon_invweight0[t2]
+      else:
+        res = l1 - data_e[0]
+      dd, aref = _kbi(solref, solimp, res, vel, h)
+      js.append(row)
+      refs.append(aref)
+      ds.append(dd)
+      iws.append(iw)
+    elif etype in (EqType.CONNECT, EqType.WELD):
+      b1 = model.eq_obj1[ei]
+      b2 = model.eq_obj2[ei]
+      # Anchor: eq_data[0:3] in body1 frame (our convention: world offset
+      # when zero).  For mocap welds the anchor is the body1 frame origin.
+      anchor1 = data.xpos[b1]  # body1 frame origin
+      anchor2 = data.xpos[b2]
+      jac1p, jac1r = kinematics.jac_point(model, data, b1, anchor1)
+      jac2p, jac2r = kinematics.jac_point(model, data, b2, anchor1)
+      res_p = anchor1 - anchor2
+      jrows = jac1p - jac2p                       # (3, nv)
+      vel_p = jrows @ data.qvel
+      iw = (model.body_invweight0[b1, 0] + model.body_invweight0[b2, 0])
+      for a in range(3):
+        dd, aref = _kbi(solref, solimp, res_p[a], vel_p[a], h)
+        js.append(jrows[a])
+        refs.append(aref)
+        ds.append(dd)
+        iws.append(iw)
+      if etype == EqType.WELD:
+        from dexterity_tpu.physics import math as tmath
+        # Orientation residual: rotation vector of q1^-1 q2 (relpose id).
+        qrel = tmath.quat_mul(tmath.quat_inv(data.xquat[b2]),
+                              data.xquat[b1])
+        res_r = tmath.quat_to_axis_angle(qrel)
+        # World-frame rotational jacobian difference.
+        jrot = jac1r - jac2r                      # (3, nv)
+        vel_r = jrot @ data.qvel
+        iw_r = (model.body_invweight0[b1, 1] + model.body_invweight0[b2, 1])
+        torquescale = jnp.where(model.eq_data[ei, 10] > 0,
+                                model.eq_data[ei, 10], 1.0)
+        for a in range(3):
+          dd, aref = _kbi(solref, solimp, res_r[a] * torquescale,
+                          vel_r[a] * torquescale, h)
+          js.append(jrot[a] * torquescale)
+          refs.append(aref)
+          ds.append(dd)
+          iws.append(iw_r / jnp.maximum(torquescale ** 2, 1e-12))
+    else:
+      raise NotImplementedError(etype)
+  return js, refs, ds, iws
+
+
+def _fl_rows(model: Model, data: Data, dtype):
+  """Dof frictionloss rows (static: only dofs with fl > 0)."""
+  js, refs, ds, iws, fls = [], [], [], [], []
+  h = model.opt.timestep
+  fl_np = np.asarray(jax.device_get(model.dof_frictionloss))
+  solref = jnp.asarray(np.array([0.02, 1.0]))
+  solimp = jnp.asarray(np.array([0.9, 0.95, 0.001, 0.5, 2.0]))
+  for i in range(model.nv):
+    if fl_np[i] <= 0:
+      continue
+    row = jnp.zeros(model.nv, dtype).at[i].set(1.0)
+    dd, aref = _kbi(solref, solimp, jnp.zeros((), dtype), data.qvel[i], h)
+    js.append(row)
+    refs.append(aref)
+    ds.append(dd)
+    iws.append(model.dof_invweight0[i])
+    fls.append(model.dof_frictionloss[i])
+  return js, refs, ds, iws, fls
+
+
+def _limit_rows(model: Model, data: Data, dtype):
+  """Joint and tendon limit rows (2 per limited joint/tendon)."""
+  js, refs, ds, iws = [], [], [], []
+  h = model.opt.timestep
+  for ji in range(model.njnt):
+    if not model.jnt_limited[ji]:
+      continue
+    jtype = JointType(model.jnt_type[ji])
+    if jtype not in (JointType.HINGE, JointType.SLIDE):
+      continue  # ball-joint limits unused by the dexterity models
+    qadr, dadr = model.jnt_qposadr[ji], model.jnt_dofadr[ji]
+    margin = model.jnt_margin[ji]
+    solref, solimp = model.jnt_solref[ji], model.jnt_solimp[ji]
+    for side, sign in ((0, 1.0), (1, -1.0)):
+      # dist to limit: +1 row for lower (q - lo), -1 row for upper (hi - q).
+      dist = sign * (data.qpos[qadr] - model.jnt_range[ji, side])
+      active = dist < margin
+      r = jnp.where(active, dist - margin, 0.0)
+      row = jnp.zeros(model.nv, dtype).at[dadr].set(sign)
+      dd, aref = _kbi(solref, solimp, r, sign * data.qvel[dadr], h)
+      dd = jnp.where(active, dd, 0.0)
+      js.append(row)
+      refs.append(aref)
+      ds.append(dd)
+      iws.append(model.dof_invweight0[dadr])
+  for ti in range(model.ntendon):
+    if not model.tendon_limited[ti]:
+      continue
+    margin = model.tendon_margin[ti]
+    solref, solimp = model.tendon_solref[ti], model.tendon_solimp[ti]
+    for side, sign in ((0, 1.0), (1, -1.0)):
+      dist = sign * (data.ten_length[ti] - model.tendon_range[ti, side])
+      active = dist < margin
+      r = jnp.where(active, dist - margin, 0.0)
+      row = sign * model.tendon_moment[ti]
+      dd, aref = _kbi(solref, solimp, r, sign * data.ten_velocity[ti], h)
+      dd = jnp.where(active, dd, 0.0)
+      js.append(row)
+      refs.append(aref)
+      ds.append(dd)
+      iws.append(model.tendon_invweight0[ti])
+  return js, refs, ds, iws
+
+
+def _contact_rows(model: Model, data: Data, dtype):
+  """Top-K contact rows with a pyramidal friction cone.
+
+  Returns per selected point: rows for condim==1 (normal only) or
+  2*(condim-1) pyramid rows.  All candidate points share the model-wide
+  maximum condim for static shape; rows beyond a point's condim get zero
+  impedance.
+  """
+  from dexterity_tpu.physics.collision import primitives
+  if model.npair == 0:
+    return [], [], [], []
+
+  h = model.opt.timestep
+  pair_of_row = primitives.contact_row_table(model)     # (npoint,) static
+  npoint = len(pair_of_row)
+  k_sel = min(model.opt.contact_top_k, npoint)
+  max_condim = max(model.pair_condim) if model.npair else 1
+
+  pair_margin = model.pair_margin[pair_of_row]          # (npoint,)
+  score = data.contact.dist - pair_margin
+  neg_score, sel = jax.lax.top_k(-score, k_sel)         # deepest first
+  del neg_score
+
+  pair_sel = jnp.asarray(pair_of_row)[sel]
+  dist = data.contact.dist[sel]
+  pos = data.contact.pos[sel]
+  frame = data.contact.frame[sel]                       # (k, 3, 3)
+  geom1 = data.contact.geom1[sel]
+  geom2 = data.contact.geom2[sel]
+  margin = model.pair_margin[pair_sel]
+  solref = model.pair_solref[pair_sel]
+  solimp = model.pair_solimp[pair_sel]
+  friction = model.pair_friction[pair_sel]              # (k, 3) slide/tors/roll
+  condim = jnp.asarray(np.asarray(model.pair_condim))[pair_sel]
+
+  gb = jnp.asarray(np.asarray(model.geom_bodyid))
+  b1 = gb[geom1]
+  b2 = gb[geom2]
+
+  active = dist < margin
+  r = jnp.where(active, dist - margin, 0.0)
+
+  # Point jacobians for both bodies at the contact point (dynamic body ids).
+  mask = jnp.asarray(kinematics.ancestor_mask(model), dtype=dtype)
+  ang = data.cdof[:, :3]
+  lin0 = data.cdof[:, 3:]
+
+  def point_jac(bid, point):
+    m = mask[bid]                                       # (nv,)
+    lin = lin0 + jnp.cross(jnp.broadcast_to(ang, (model.nv, 3)),
+                           jnp.broadcast_to(point, (model.nv, 3)))
+    return (lin * m[:, None]), (ang * m[:, None])       # (nv, 3) each
+
+  jp2, jr2 = jax.vmap(point_jac)(b2, pos)               # (k, nv, 3)
+  jp1, jr1 = jax.vmap(point_jac)(b1, pos)
+  jp = jp2 - jp1                                        # translational
+  jr = jr2 - jr1                                        # rotational
+
+  # Directional jacobians: (k, nv) per direction.
+  jn = jnp.einsum('kvi,ki->kv', jp, frame[:, 0])
+  jt1 = jnp.einsum('kvi,ki->kv', jp, frame[:, 1])
+  jt2 = jnp.einsum('kvi,ki->kv', jp, frame[:, 2])
+  jrn = jnp.einsum('kvi,ki->kv', jr, frame[:, 0])
+  jrt1 = jnp.einsum('kvi,ki->kv', jr, frame[:, 1])
+  jrt2 = jnp.einsum('kvi,ki->kv', jr, frame[:, 2])
+
+  iw_t = (model.body_invweight0[b1, 0] + model.body_invweight0[b2, 0])
+
+  js, refs, ds, iws = [], [], [], []
+  qvel = data.qvel
+
+  if max_condim == 1:
+    dd, aref = _kbi(solref, solimp, r, jn @ qvel, h)
+    dd = jnp.where(active, dd, 0.0)
+    for i in range(k_sel):
+      js.append(jn[i])
+      refs.append(aref[i])
+      ds.append(dd[i])
+      iws.append(iw_t[i])
+    return js, refs, ds, iws
+
+  # Pyramidal rows: for friction dim j: J = Jn +/- mu_j * Jf_j.
+  fric_dirs = [(jt1, friction[:, 0]), (jt2, friction[:, 0]),
+               (jrn, friction[:, 1]), (jrt1, friction[:, 2]),
+               (jrt2, friction[:, 2])]
+  # One regularizer per contact, from the slide friction coefficient
+  # (matches mujoco: efc_R is uniform across a contact's pyramid rows).
+  mu0 = friction[:, 0]
+  iw_pyr = iw_t * 2.0 * mu0 * mu0 * (1.0 + mu0 * mu0)
+  ndim_rows = max_condim - 1
+  for j in range(ndim_rows):
+    jf, mu = fric_dirs[j]
+    dim_ok = condim > j + 1
+    for sign in (1.0, -1.0):
+      jrow = jn + sign * mu[:, None] * jf
+      dd, aref = _kbi(solref, solimp, r, jrow @ qvel, h)
+      dd = jnp.where(active & dim_ok, dd, 0.0)
+      for i in range(k_sel):
+        js.append(jrow[i])
+        refs.append(aref[i])
+        ds.append(dd[i])
+        iws.append(iw_pyr[i])
+  return js, refs, ds, iws
+
+
+def assemble(model: Model, data: Data) -> Rows:
+  dtype = data.qpos.dtype
+  js, refs, ds, iws, kinds, fls = [], [], [], [], [], []
+
+  e = _eq_rows(model, data, dtype)
+  js += e[0]; refs += e[1]; ds += e[2]; iws += e[3]
+  kinds += [_BILATERAL] * len(e[0])
+  fls += [jnp.zeros((), dtype)] * len(e[0])
+
+  f = _fl_rows(model, data, dtype)
+  js += f[0]; refs += f[1]; ds += f[2]; iws += f[3]
+  kinds += [_FRICTIONLOSS] * len(f[0])
+  fls += f[4]
+
+  l = _limit_rows(model, data, dtype)
+  js += l[0]; refs += l[1]; ds += l[2]; iws += l[3]
+  kinds += [_UNILATERAL] * len(l[0])
+  fls += [jnp.zeros((), dtype)] * len(l[0])
+
+  c = _contact_rows(model, data, dtype)
+  js += c[0]; refs += c[1]; ds += c[2]; iws += c[3]
+  kinds += [_UNILATERAL] * len(c[0])
+  fls += [jnp.zeros((), dtype)] * len(c[0])
+
+  if not js:
+    return Rows(J=jnp.zeros((0, model.nv), dtype), aref=jnp.zeros((0,), dtype),
+                d=jnp.zeros((0,), dtype), invweight=jnp.zeros((0,), dtype),
+                fl=jnp.zeros((0,), dtype), kind=np.zeros(0, np.int32))
+  return Rows(
+      J=jnp.stack(js), aref=jnp.stack(refs), d=jnp.stack(ds),
+      invweight=jnp.stack(iws), fl=jnp.stack(fls),
+      kind=np.asarray(kinds, np.int32))
+
+
+# ---------------------------------------------------------------------------
+# Solver
+# ---------------------------------------------------------------------------
+
+
+def solve(model: Model, data: Data, qfrc_smooth: jax.Array) -> Data:
+  rows = assemble(model, data)
+  nrow = rows.J.shape[0]
+  if nrow == 0:
+    return data.replace(qfrc_constraint=jnp.zeros_like(data.qacc_smooth),
+                        qacc=data.qacc_smooth)
+
+  dtype = data.qpos.dtype
+  d_clamped = jnp.clip(rows.d, 0.0, 1.0 - 1e-6)
+  enabled = rows.d > 0
+  big_d = d_clamped / jnp.maximum(
+      (1.0 - d_clamped) * rows.invweight, 1e-12)     # D = 1/R
+  big_d = jnp.where(enabled, big_d, 0.0)
+
+  is_bilateral = jnp.asarray(rows.kind == _BILATERAL)
+  is_fl = jnp.asarray(rows.kind == _FRICTIONLOSS)
+  is_unilateral = jnp.asarray(rows.kind == _UNILATERAL)
+
+  a0 = data.qacc_smooth
+  m = data.qM
+
+  def force_and_weight(x):
+    """Per-row constraint force -s'(x) and Hessian weight s''(x)."""
+    f_quad = -big_d * x
+    # Friction loss: clamp force to [-fl, fl] (Huber).
+    f_fl = jnp.clip(f_quad, -rows.fl, rows.fl)
+    in_quad_fl = jnp.abs(f_quad) < rows.fl
+    # Unilateral: active only when x < 0.
+    f_uni = jnp.where(x < 0, f_quad, 0.0)
+    f = jnp.where(is_bilateral, f_quad,
+                  jnp.where(is_fl, f_fl, f_uni))
+    w = jnp.where(is_bilateral, big_d,
+                  jnp.where(is_fl, jnp.where(in_quad_fl, big_d, 0.0),
+                            jnp.where(x < 0, big_d, 0.0)))
+    return f, w
+
+  def cost(a):
+    x = rows.J @ a - rows.aref
+    quad = 0.5 * big_d * x * x
+    c_fl_lin = rows.fl * jnp.abs(x) - 0.5 * rows.fl * rows.fl / jnp.maximum(
+        big_d, 1e-12)
+    c_fl = jnp.where(jnp.abs(big_d * x) < rows.fl, quad, c_fl_lin)
+    c_uni = jnp.where(x < 0, quad, 0.0)
+    c_rows = jnp.where(is_bilateral, quad,
+                       jnp.where(is_fl, c_fl, c_uni))
+    da = a - a0
+    return 0.5 * da @ (m @ da) + jnp.sum(c_rows)
+
+  def newton_step(a, _):
+    x = rows.J @ a - rows.aref
+    f, w = force_and_weight(x)
+    grad = m @ (a - a0) - rows.J.T @ f
+    hess = m + (rows.J.T * w) @ rows.J
+    chol = jax.scipy.linalg.cho_factor(
+        hess + 1e-10 * jnp.eye(model.nv, dtype=dtype))
+    delta = -jax.scipy.linalg.cho_solve(chol, grad)
+    # Backtracking line search on the exact convex cost.
+    c0 = cost(a)
+    alphas = 2.0 ** -jnp.arange(model.opt.ls_iterations, dtype=dtype)
+    costs = jax.vmap(lambda al: cost(a + al * delta))(alphas)
+    best = jnp.argmin(costs)
+    improved = costs[best] < c0
+    a_new = jnp.where(improved, a + alphas[best] * delta, a)
+    return a_new, ()
+
+  a, _ = jax.lax.scan(newton_step, a0, (), length=model.opt.solver_iterations)
+
+  x = rows.J @ a - rows.aref
+  f, _ = force_and_weight(x)
+  qfrc_constraint = rows.J.T @ f
+  return data.replace(qacc=a, qfrc_constraint=qfrc_constraint)
