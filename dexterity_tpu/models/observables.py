@@ -1,0 +1,184 @@
+"""Hand and prop observables
+(reference: dexterity/models/hands/dexterous_hand.py:245-372).
+
+Each observable is a pure function of (model, data); a HandObservables
+instance resolves static index tables at after_compile and produces the
+enabled subset as a dict, with dm_control-style '{entity}/{name}' keys.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dexterity_tpu.core.types import JointType, Model
+from dexterity_tpu.physics import kinematics
+from dexterity_tpu.physics import math as tmath
+
+
+class HandObservables:
+  """Observables for a hand attached under `prefix` in the task model."""
+
+  ALL = ('joint_positions', 'joint_positions_sin_cos', 'joint_velocities',
+         'joint_torques', 'fingertip_positions', 'fingertip_orientations',
+         'fingertip_linear_velocities', 'fingertip_angular_velocities',
+         'fingertip_positions_ego')
+
+  def __init__(self, hand, prefix: str, options: Optional[dict] = None):
+    self.hand = hand
+    self.prefix = prefix
+    # options: {observable_name: ObservableSpec-or-dict}; unlisted
+    # observables keep their defaults (disabled except via presets).
+    self.options = options or {}
+    self._resolved = False
+
+  def enabled_names(self) -> Sequence[str]:
+    names = []
+    for name in self.ALL:
+      spec = self.options.get(name)
+      enabled = False
+      if spec is not None:
+        enabled = spec['enabled'] if isinstance(spec, dict) else spec.enabled
+      if enabled:
+        names.append(name)
+    return names
+
+  def after_compile(self, model: Model):
+    if self._resolved:
+      return
+    jn = [self.prefix + n for n in self.hand.joint_names]
+    jids = [model.jnt_names.index(n) for n in jn]
+    self.qpos_adr = np.asarray([model.jnt_qposadr[j] for j in jids], np.int32)
+    self.dof_adr = np.asarray([model.jnt_dofadr[j] for j in jids], np.int32)
+    self.jnt_ids = np.asarray(jids, np.int32)
+    self.site_ids = np.asarray(
+        [model.site_names.index(self.prefix + n)
+         for n in self.hand.fingertip_site_names], np.int32)
+    self.site_body = np.asarray(
+        [model.site_bodyid[s] for s in self.site_ids], np.int32)
+    # Root body: first body of the attached hand subtree.
+    root_name = self.prefix + self.hand.spec.worldbody.children[0].name
+    self.root_body = model.body_names.index(root_name)
+    self.body_ids = np.asarray(
+        [i for i, n in enumerate(model.body_names)
+         if n.startswith(self.prefix)], np.int32)
+    self._resolved = True
+
+  # -- individual observables (pure) ---------------------------------------
+
+  def joint_positions(self, model, data):
+    return data.qpos[self.qpos_adr]
+
+  def joint_positions_sin_cos(self, model, data):
+    qpos = data.qpos[self.qpos_adr]
+    return jnp.stack([jnp.sin(qpos), jnp.cos(qpos)], axis=-1).reshape(-1)
+
+  def joint_velocities(self, model, data):
+    return data.qvel[self.dof_adr]
+
+  def joint_torques(self, model, data):
+    """Torque transmitted through each joint, projected on its axis.
+
+    The reference reads 3-axis torque sensors at each joint
+    (dexterous_hand.py:266-275); the generalized-coordinate equivalent is
+    the inverse-dynamics joint torque tau = M qacc + bias - J^T f_applied,
+    i.e. the total actuation+constraint torque at each dof.
+    """
+    tau = (data.qfrc_actuator + data.qfrc_constraint + data.qfrc_passive)
+    return tau[self.dof_adr]
+
+  def fingertip_positions(self, model, data):
+    return data.site_xpos[self.site_ids].reshape(-1)
+
+  def fingertip_orientations(self, model, data):
+    quats = tmath.mat_to_quat(data.site_xmat[self.site_ids])
+    return quats.reshape(-1)
+
+  def _site_vels(self, model, data):
+    out = []
+    for sid, bid in zip(self.site_ids, self.site_body):
+      lin, ang = kinematics.point_velocity(data, data.cvel[bid],
+                                           data.site_xpos[sid])
+      out.append((lin, ang))
+    return out
+
+  def fingertip_linear_velocities(self, model, data):
+    return jnp.concatenate([lin for lin, _ in self._site_vels(model, data)])
+
+  def fingertip_angular_velocities(self, model, data):
+    return jnp.concatenate([ang for _, ang in self._site_vels(model, data)])
+
+  def fingertip_positions_ego(self, model, data):
+    """Fingertip positions in the hand root body frame
+    (framepos sensors in the reference, dexterous_hand.py:327-350)."""
+    root_pos = data.xpos[self.root_body]
+    root_mat = tmath.quat_to_mat(data.xquat[self.root_body])
+    rel = data.site_xpos[self.site_ids] - root_pos
+    return jnp.einsum('ji,sj->si', root_mat, rel).reshape(-1)
+
+  # -- collection -----------------------------------------------------------
+
+  def as_dict(self, model, data) -> Dict[str, jax.Array]:
+    self.after_compile(model)
+    out = {}
+    for name in self.enabled_names():
+      out[f'{self.hand.name}/{name}'] = getattr(self, name)(model, data)
+    return out
+
+
+class FreePropObservables:
+  """Pose/velocity observables for a free prop
+  (dm_control Primitive observables used by reorient.py:81-86)."""
+
+  ALL = ('position', 'orientation', 'linear_velocity', 'angular_velocity')
+
+  def __init__(self, prop, prefix: str, options: Optional[dict] = None):
+    self.prop = prop
+    self.prefix = prefix
+    self.options = options or {}
+    self._resolved = False
+
+  def after_compile(self, model: Model):
+    if self._resolved:
+      return
+    root_name = self.prefix + self.prop.spec.worldbody.children[0].name
+    self.body_id = model.body_names.index(root_name)
+    jid = model.body_jntadr[self.body_id]
+    assert model.jnt_type[jid] == int(JointType.FREE)
+    self.qpos_adr = model.jnt_qposadr[jid]
+    self.dof_adr = model.jnt_dofadr[jid]
+    self._resolved = True
+
+  def enabled_names(self):
+    names = []
+    for name in self.ALL:
+      spec = self.options.get(name)
+      enabled = False
+      if spec is not None:
+        enabled = spec['enabled'] if isinstance(spec, dict) else spec.enabled
+      if enabled:
+        names.append(name)
+    return names
+
+  def position(self, model, data):
+    return data.xpos[self.body_id]
+
+  def orientation(self, model, data):
+    return data.xquat[self.body_id]
+
+  def linear_velocity(self, model, data):
+    return data.cvel[self.body_id, 3:] + jnp.cross(
+        data.cvel[self.body_id, :3], data.xpos[self.body_id])
+
+  def angular_velocity(self, model, data):
+    return data.cvel[self.body_id, :3]
+
+  def as_dict(self, model, data):
+    self.after_compile(model)
+    out = {}
+    for name in self.enabled_names():
+      out[f'{self.prop.name}/{name}'] = getattr(self, name)(model, data)
+    return out

@@ -201,67 +201,75 @@ def _eq_rows(model: Model, data: Data, dtype):
 
 
 def _fl_rows(model: Model, data: Data, dtype):
-  """Dof frictionloss rows (static: only dofs with fl > 0)."""
-  js, refs, ds, iws, fls = [], [], [], [], []
+  """Dof frictionloss rows (vectorized; static row set: dofs with fl > 0)."""
   h = model.opt.timestep
   fl_np = np.asarray(jax.device_get(model.dof_frictionloss))
-  solref = jnp.asarray(np.array([0.02, 1.0]))
-  solimp = jnp.asarray(np.array([0.9, 0.95, 0.001, 0.5, 2.0]))
-  for i in range(model.nv):
-    if fl_np[i] <= 0:
-      continue
-    row = jnp.zeros(model.nv, dtype).at[i].set(1.0)
-    dd, aref = _kbi(solref, solimp, jnp.zeros((), dtype), data.qvel[i], h)
-    js.append(row)
-    refs.append(aref)
-    ds.append(dd)
-    iws.append(model.dof_invweight0[i])
-    fls.append(model.dof_frictionloss[i])
-  return js, refs, ds, iws, fls
+  idx = np.where(fl_np > 0)[0]
+  n = len(idx)
+  if n == 0:
+    z = jnp.zeros((0,), dtype)
+    return jnp.zeros((0, model.nv), dtype), z, z, z, z
+  j_static = np.zeros((n, model.nv))
+  j_static[np.arange(n), idx] = 1.0
+  solref = jnp.broadcast_to(jnp.asarray([0.02, 1.0], dtype), (n, 2))
+  solimp = jnp.broadcast_to(
+      jnp.asarray([0.9, 0.95, 0.001, 0.5, 2.0], dtype), (n, 5))
+  dd, aref = _kbi(solref, solimp, jnp.zeros(n, dtype), data.qvel[idx], h)
+  return (jnp.asarray(j_static, dtype), aref, dd,
+          model.dof_invweight0[idx], model.dof_frictionloss[idx])
 
 
 def _limit_rows(model: Model, data: Data, dtype):
-  """Joint and tendon limit rows (2 per limited joint/tendon)."""
-  js, refs, ds, iws = [], [], [], []
+  """Joint and tendon limit rows (vectorized; 2 per limited joint/tendon)."""
   h = model.opt.timestep
-  for ji in range(model.njnt):
-    if not model.jnt_limited[ji]:
-      continue
-    jtype = JointType(model.jnt_type[ji])
-    if jtype not in (JointType.HINGE, JointType.SLIDE):
-      continue  # ball-joint limits unused by the dexterity models
-    qadr, dadr = model.jnt_qposadr[ji], model.jnt_dofadr[ji]
-    margin = model.jnt_margin[ji]
-    solref, solimp = model.jnt_solref[ji], model.jnt_solimp[ji]
+  blocks = []
+
+  # Scalar joint limits.
+  jids = [ji for ji in range(model.njnt)
+          if model.jnt_limited[ji]
+          and JointType(model.jnt_type[ji]) in (JointType.HINGE,
+                                                JointType.SLIDE)]
+  if jids:
+    jids_np = np.asarray(jids)
+    qadr = np.asarray([model.jnt_qposadr[j] for j in jids])
+    dadr = np.asarray([model.jnt_dofadr[j] for j in jids])
     for side, sign in ((0, 1.0), (1, -1.0)):
-      # dist to limit: +1 row for lower (q - lo), -1 row for upper (hi - q).
-      dist = sign * (data.qpos[qadr] - model.jnt_range[ji, side])
+      dist = sign * (data.qpos[qadr] - model.jnt_range[jids_np, side])
+      margin = model.jnt_margin[jids_np]
       active = dist < margin
       r = jnp.where(active, dist - margin, 0.0)
-      row = jnp.zeros(model.nv, dtype).at[dadr].set(sign)
-      dd, aref = _kbi(solref, solimp, r, sign * data.qvel[dadr], h)
+      j_static = np.zeros((len(jids), model.nv))
+      j_static[np.arange(len(jids)), dadr] = sign
+      dd, aref = _kbi(model.jnt_solref[jids_np], model.jnt_solimp[jids_np],
+                      r, sign * data.qvel[dadr], h)
       dd = jnp.where(active, dd, 0.0)
-      js.append(row)
-      refs.append(aref)
-      ds.append(dd)
-      iws.append(model.dof_invweight0[dadr])
-  for ti in range(model.ntendon):
-    if not model.tendon_limited[ti]:
-      continue
-    margin = model.tendon_margin[ti]
-    solref, solimp = model.tendon_solref[ti], model.tendon_solimp[ti]
+      blocks.append((jnp.asarray(j_static, dtype), aref, dd,
+                     model.dof_invweight0[dadr]))
+
+  # Tendon limits.
+  tids = [ti for ti in range(model.ntendon) if model.tendon_limited[ti]]
+  if tids:
+    tids_np = np.asarray(tids)
     for side, sign in ((0, 1.0), (1, -1.0)):
-      dist = sign * (data.ten_length[ti] - model.tendon_range[ti, side])
+      dist = sign * (data.ten_length[tids_np]
+                     - model.tendon_range[tids_np, side])
+      margin = model.tendon_margin[tids_np]
       active = dist < margin
       r = jnp.where(active, dist - margin, 0.0)
-      row = sign * model.tendon_moment[ti]
-      dd, aref = _kbi(solref, solimp, r, sign * data.ten_velocity[ti], h)
+      dd, aref = _kbi(model.tendon_solref[tids_np],
+                      model.tendon_solimp[tids_np], r,
+                      sign * data.ten_velocity[tids_np], h)
       dd = jnp.where(active, dd, 0.0)
-      js.append(row)
-      refs.append(aref)
-      ds.append(dd)
-      iws.append(model.tendon_invweight0[ti])
-  return js, refs, ds, iws
+      blocks.append((sign * model.tendon_moment[tids_np], aref, dd,
+                     model.tendon_invweight0[tids_np]))
+
+  if not blocks:
+    z = jnp.zeros((0,), dtype)
+    return jnp.zeros((0, model.nv), dtype), z, z, z
+  return (jnp.concatenate([b[0] for b in blocks]),
+          jnp.concatenate([b[1] for b in blocks]),
+          jnp.concatenate([b[2] for b in blocks]),
+          jnp.concatenate([b[3] for b in blocks]))
 
 
 def _contact_rows(model: Model, data: Data, dtype):
@@ -274,7 +282,8 @@ def _contact_rows(model: Model, data: Data, dtype):
   """
   from dexterity_tpu.physics.collision import primitives
   if model.npair == 0:
-    return [], [], [], []
+    z = jnp.zeros((0,), dtype)
+    return jnp.zeros((0, model.nv), dtype), z, z, z
 
   h = model.opt.timestep
   pair_of_row = primitives.contact_row_table(model)     # (npoint,) static
@@ -332,18 +341,12 @@ def _contact_rows(model: Model, data: Data, dtype):
 
   iw_t = (model.body_invweight0[b1, 0] + model.body_invweight0[b2, 0])
 
-  js, refs, ds, iws = [], [], [], []
   qvel = data.qvel
 
   if max_condim == 1:
     dd, aref = _kbi(solref, solimp, r, jn @ qvel, h)
     dd = jnp.where(active, dd, 0.0)
-    for i in range(k_sel):
-      js.append(jn[i])
-      refs.append(aref[i])
-      ds.append(dd[i])
-      iws.append(iw_t[i])
-    return js, refs, ds, iws
+    return jn, aref, dd, iw_t
 
   # Pyramidal rows: for friction dim j: J = Jn +/- mu_j * Jf_j.
   fric_dirs = [(jt1, friction[:, 0]), (jt2, friction[:, 0]),
@@ -354,53 +357,52 @@ def _contact_rows(model: Model, data: Data, dtype):
   mu0 = friction[:, 0]
   iw_pyr = iw_t * 2.0 * mu0 * mu0 * (1.0 + mu0 * mu0)
   ndim_rows = max_condim - 1
+  j_blocks, aref_blocks, d_blocks, iw_blocks = [], [], [], []
   for j in range(ndim_rows):
     jf, mu = fric_dirs[j]
     dim_ok = condim > j + 1
     for sign in (1.0, -1.0):
-      jrow = jn + sign * mu[:, None] * jf
+      jrow = jn + sign * mu[:, None] * jf          # (k, nv)
       dd, aref = _kbi(solref, solimp, r, jrow @ qvel, h)
       dd = jnp.where(active & dim_ok, dd, 0.0)
-      for i in range(k_sel):
-        js.append(jrow[i])
-        refs.append(aref[i])
-        ds.append(dd[i])
-        iws.append(iw_pyr[i])
-  return js, refs, ds, iws
+      j_blocks.append(jrow)
+      aref_blocks.append(aref)
+      d_blocks.append(dd)
+      iw_blocks.append(iw_pyr)
+  return (jnp.concatenate(j_blocks), jnp.concatenate(aref_blocks),
+          jnp.concatenate(d_blocks), jnp.concatenate(iw_blocks))
 
 
 def assemble(model: Model, data: Data) -> Rows:
   dtype = data.qpos.dtype
-  js, refs, ds, iws, kinds, fls = [], [], [], [], [], []
 
-  e = _eq_rows(model, data, dtype)
-  js += e[0]; refs += e[1]; ds += e[2]; iws += e[3]
-  kinds += [_BILATERAL] * len(e[0])
-  fls += [jnp.zeros((), dtype)] * len(e[0])
+  ej, er, ed, ei = _eq_rows_blocks(model, data, dtype)
+  fj, fr, fd, fi, ffl = _fl_rows(model, data, dtype)
+  lj, lr, ld, li = _limit_rows(model, data, dtype)
+  cj, cr, cd, ci = _contact_rows(model, data, dtype)
 
-  f = _fl_rows(model, data, dtype)
-  js += f[0]; refs += f[1]; ds += f[2]; iws += f[3]
-  kinds += [_FRICTIONLOSS] * len(f[0])
-  fls += f[4]
-
-  l = _limit_rows(model, data, dtype)
-  js += l[0]; refs += l[1]; ds += l[2]; iws += l[3]
-  kinds += [_UNILATERAL] * len(l[0])
-  fls += [jnp.zeros((), dtype)] * len(l[0])
-
-  c = _contact_rows(model, data, dtype)
-  js += c[0]; refs += c[1]; ds += c[2]; iws += c[3]
-  kinds += [_UNILATERAL] * len(c[0])
-  fls += [jnp.zeros((), dtype)] * len(c[0])
-
-  if not js:
-    return Rows(J=jnp.zeros((0, model.nv), dtype), aref=jnp.zeros((0,), dtype),
-                d=jnp.zeros((0,), dtype), invweight=jnp.zeros((0,), dtype),
-                fl=jnp.zeros((0,), dtype), kind=np.zeros(0, np.int32))
+  n_e, n_f, n_l, n_c = (ej.shape[0], fj.shape[0], lj.shape[0], cj.shape[0])
+  kind = np.concatenate([
+      np.full(n_e, _BILATERAL, np.int32),
+      np.full(n_f, _FRICTIONLOSS, np.int32),
+      np.full(n_l, _UNILATERAL, np.int32),
+      np.full(n_c, _UNILATERAL, np.int32)])
+  fl = jnp.concatenate([jnp.zeros(n_e, dtype), ffl,
+                        jnp.zeros(n_l + n_c, dtype)])
   return Rows(
-      J=jnp.stack(js), aref=jnp.stack(refs), d=jnp.stack(ds),
-      invweight=jnp.stack(iws), fl=jnp.stack(fls),
-      kind=np.asarray(kinds, np.int32))
+      J=jnp.concatenate([ej, fj, lj, cj]),
+      aref=jnp.concatenate([er, fr, lr, cr]),
+      d=jnp.concatenate([ed, fd, ld, cd]),
+      invweight=jnp.concatenate([ei, fi, li, ci]),
+      fl=fl, kind=kind)
+
+
+def _eq_rows_blocks(model: Model, data: Data, dtype):
+  js, refs, ds, iws = _eq_rows(model, data, dtype)
+  if not js:
+    z = jnp.zeros((0,), dtype)
+    return jnp.zeros((0, model.nv), dtype), z, z, z
+  return (jnp.stack(js), jnp.stack(refs), jnp.stack(ds), jnp.stack(iws))
 
 
 # ---------------------------------------------------------------------------
