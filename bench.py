@@ -1,0 +1,66 @@
+"""Benchmark: ShadowHand cube-reorient predictive-sampling MPC solves/s.
+
+Runs on whatever jax.default_backend() provides (the driver runs it on one
+real TPU chip).  One solve = 512 candidate rollouts x horizon control steps
+of the full contact physics (BASELINE.md: >= 1000 solves/s on v5e-16 =
+62.5 solves/s/chip at linear scaling — vs_baseline is measured against the
+per-chip share).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+  from dexterity_tpu import manipulation
+  from dexterity_tpu.planners import predictive_sampling as ps
+
+  num_samples = int(os.environ.get('BENCH_SAMPLES', '512'))
+  horizon = int(os.environ.get('BENCH_HORIZON', '10'))
+  n_solves = int(os.environ.get('BENCH_SOLVES', '20'))
+
+  task = manipulation.build_task('reorient', 'state_dense')
+  env = manipulation._environment.GoalEnvironment(task)
+  planner = ps.PredictiveSampling(
+      task, ps.PredictiveSamplingConfig(horizon=horizon,
+                                        num_samples=num_samples))
+
+  key = jax.random.PRNGKey(0)
+  state, _ = jax.jit(env.reset)(key)
+  pstate = planner.init_state()
+  solve = jax.jit(planner.solve)
+
+  # Warmup / compile.
+  action, pstate = solve(state.data, state.task.goal, pstate,
+                         jax.random.PRNGKey(1))
+  jax.block_until_ready(action)
+
+  t0 = time.time()
+  for i in range(n_solves):
+    action, pstate = solve(state.data, state.task.goal, pstate,
+                           jax.random.PRNGKey(2 + i))
+  jax.block_until_ready(action)
+  wall = time.time() - t0
+
+  solves_per_s = n_solves / wall
+  per_chip_target = 1000.0 / 16.0
+  print(json.dumps({
+      'metric': 'reorient_mpc_solves_per_s_per_chip',
+      'value': round(solves_per_s, 3),
+      'unit': f'solves/s (samples={num_samples}, horizon={horizon}, '
+              f'backend={jax.default_backend()})',
+      'vs_baseline': round(solves_per_s / per_chip_target, 4),
+  }))
+
+
+if __name__ == '__main__':
+  main()

@@ -1,0 +1,141 @@
+"""Predictive-sampling MPC (MJPC-style zero-order planner).
+
+New first-class component per the north star (BASELINE.json): thousands of
+vmapped candidate rollouts per solve on one chip, population shardable
+across a device mesh (see dexterity_tpu.parallel.sharding).
+
+One `solve` = sample N candidate action sequences around the nominal plan
+(Gaussian noise, first candidate = nominal), roll each out H control steps
+through the batched physics, score by discounted task reward, keep the
+best as the new nominal, and emit its first action.  Everything is one
+jitted program; the candidate axis is embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dexterity_tpu import task as task_lib
+from dexterity_tpu.core import types as T
+from dexterity_tpu.physics import step as physics_step
+
+
+@dataclasses.dataclass(frozen=True)
+class PredictiveSamplingConfig:
+  horizon: int = 10            # control steps to look ahead
+  num_samples: int = 512       # candidate action sequences per solve
+  noise_scale: float = 0.2     # exploration std, in units of ctrl range
+  # Physics fidelity for planning rollouts (MJPC-style reduced solver):
+  solver_iterations: int = 4
+  ls_iterations: int = 4
+
+
+from dexterity_tpu.utils.structs import pytree_dataclass
+
+
+@pytree_dataclass
+class PlannerState:
+  nominal: jax.Array           # (H, nu) current plan
+  best_return: jax.Array       # () score of nominal on last solve
+
+
+class PredictiveSampling:
+  """Zero-order sampling MPC over a GoalTask."""
+
+  def __init__(self, task: task_lib.GoalTask,
+               config: PredictiveSamplingConfig = PredictiveSamplingConfig(),
+               dtype=None):
+    self.task = task
+    self.config = config
+    model = task.compile()
+    # Reduced-fidelity planning model (same arrays, fewer solver iters).
+    self.model = model.replace(opt=model.opt.replace(
+        solver_iterations=config.solver_iterations,
+        ls_iterations=config.ls_iterations))
+    self.dtype = dtype if dtype is not None else jnp.zeros(0).dtype
+    spec = task.action_spec(model)
+    lo = np.where(np.isfinite(spec.minimum), spec.minimum, -1.0)
+    hi = np.where(np.isfinite(spec.maximum), spec.maximum, 1.0)
+    self._lo = jnp.asarray(lo, self.dtype)
+    self._hi = jnp.asarray(hi, self.dtype)
+    self.nu = spec.shape[0]
+    self._act_ids = self._action_actuator_ids(model)
+
+  def _action_actuator_ids(self, model):
+    ids = []
+    for eff, (a, b) in zip(self.task.hand_effectors,
+                           self.task.effector_slices(model)):
+      ids.extend(eff._indices.tolist())
+    return np.asarray(ids, np.int32)
+
+  # -- core ---------------------------------------------------------------
+
+  def init_state(self, data: Optional[T.Data] = None) -> PlannerState:
+    mid = (self._lo + self._hi) / 2.0
+    nominal = jnp.tile(mid, (self.config.horizon, 1))
+    return PlannerState(nominal=nominal,
+                        best_return=jnp.asarray(-jnp.inf, self.dtype))
+
+  def rollout_return(self, data: T.Data, goal: jax.Array,
+                     actions: jax.Array) -> jax.Array:
+    """Discount-free return of one action sequence (H, nu)."""
+    model = self.model
+    gen = self.task.goal_generator
+    n_sub = self.task.n_substeps
+
+    def control_step(d, action):
+      ctrl = d.ctrl.at[jnp.asarray(self._act_ids)].set(
+          jnp.clip(action, self._lo, self._hi))
+      d = d.replace(ctrl=ctrl)
+      d = physics_step.step_n(model, d, n_sub)
+      dist = gen.goal_distance(goal, gen.current_state(model, d))
+      tstate = _reward_state(goal, dist)
+      r = self.task.get_reward(model, d, tstate)
+      return d, r
+
+    _, rewards = jax.lax.scan(control_step, data, actions)
+    return jnp.sum(rewards)
+
+  def solve(self, data: T.Data, goal: jax.Array, pstate: PlannerState,
+            key: jax.Array):
+    """One MPC solve. Returns (action, new PlannerState)."""
+    cfg = self.config
+    rng = self._hi - self._lo
+    noise = (jax.random.normal(
+        key, (cfg.num_samples - 1, cfg.horizon, self.nu), self.dtype)
+        * cfg.noise_scale * rng)
+    candidates = jnp.concatenate(
+        [pstate.nominal[None], pstate.nominal[None] + noise])
+    candidates = jnp.clip(candidates, self._lo, self._hi)
+
+    returns = jax.vmap(lambda a: self.rollout_return(data, goal, a))(
+        candidates)
+    best = jnp.argmax(returns)
+    best_seq = candidates[best]
+    # Receding horizon: shift, repeat last action.
+    nominal = jnp.concatenate([best_seq[1:], best_seq[-1:]])
+    new_state = PlannerState(nominal=nominal, best_return=returns[best])
+    return best_seq[0], new_state
+
+  def action(self, env_state, pstate: PlannerState, key: jax.Array):
+    """Convenience: plan from a GoalEnvironment EnvState."""
+    return self.solve(env_state.data, env_state.task.goal, pstate, key)
+
+
+class _RewardState:
+  """Minimal task-state view for reward evaluation during planning."""
+
+  __slots__ = ('goal', 'goal_distance')
+
+  def __init__(self, goal, goal_distance):
+    self.goal = goal
+    self.goal_distance = goal_distance
+
+
+def _reward_state(goal, dist):
+  return _RewardState(goal, dist)
