@@ -91,6 +91,9 @@ class Option:
   ls_iterations: int = static_field(default=8)
   # Max contact points kept per step (top-K deepest candidates).
   contact_top_k: int = static_field(default=64)
+  # Disables the constraint solver entirely (mjDSBL_CONSTRAINT analogue;
+  # used by smooth-dynamics conformance tests).
+  disable_constraint: bool = static_field(default=False)
 
 
 @pytree_dataclass

@@ -411,6 +411,9 @@ def _eq_rows_blocks(model: Model, data: Data, dtype):
 
 
 def solve(model: Model, data: Data, qfrc_smooth: jax.Array) -> Data:
+  if model.opt.disable_constraint:
+    return data.replace(qfrc_constraint=jnp.zeros_like(data.qacc_smooth),
+                        qacc=data.qacc_smooth)
   rows = assemble(model, data)
   nrow = rows.J.shape[0]
   if nrow == 0:

@@ -33,7 +33,137 @@ def _joint_local_qpos(model: Model, ji: int, qpos: jax.Array):
 
 
 def fwd_position(model: Model, data: Data) -> Data:
-  """Computes body/site/geom world poses, dof axes and tendon lengths."""
+  """Computes body/site/geom world poses, dof axes and tendon lengths.
+
+  Uses the level-wise vectorized sweep when every body has at most one
+  joint (true for all dexterity models); falls back to the general
+  body-at-a-time recursion otherwise.
+  """
+  from dexterity_tpu.physics import tree
+  tables = tree.tree_tables(model)
+  if tables.single_jointed:
+    return _fwd_position_levels(model, data, tables)
+  return _fwd_position_unrolled(model, data)
+
+
+def _fwd_position_levels(model: Model, data: Data, tables) -> Data:
+  """Vectorized FK: one gather/compute/scatter round per tree depth."""
+  qpos = data.qpos
+  dtype = qpos.dtype
+  nbody, nv = model.nbody, model.nv
+
+  xpos = jnp.zeros((nbody, 3), dtype)
+  xquat = jnp.zeros((nbody, 4), dtype).at[:, 0].set(1.0)
+  cdof = jnp.zeros((nv, 6), dtype)
+
+  for level in tables.levels:
+    ids = level.ids
+    ppos = xpos[level.parent]
+    pquat = xquat[level.parent]
+    pos = ppos + tmath.quat_rotate(pquat, model.body_pos[ids])
+    quat = tmath.quat_mul(pquat, model.body_quat[ids])
+
+    sel, jids, qadr, dadr = level.hinge
+    if len(sel):
+      q = qpos[qadr]
+      axis_l = model.jnt_axis[jids]
+      jpos = model.jnt_pos[jids]
+      p0, q0 = pos[sel], quat[sel]
+      axis_w = tmath.quat_rotate(q0, axis_l)
+      anchor = p0 + tmath.quat_rotate(q0, jpos)
+      dq = tmath.axis_angle_to_quat(axis_l, q)
+      qn = tmath.quat_mul(q0, dq)
+      pn = anchor - tmath.quat_rotate(qn, jpos)
+      pos = pos.at[sel].set(pn)
+      quat = quat.at[sel].set(qn)
+      rows = jnp.concatenate(
+          [axis_w, jnp.cross(axis_w, -anchor)], axis=-1)
+      cdof = cdof.at[dadr].set(rows)
+
+    sel, jids, qadr, dadr = level.slide
+    if len(sel):
+      q = qpos[qadr]
+      axis_w = tmath.quat_rotate(quat[sel], model.jnt_axis[jids])
+      pos = pos.at[sel].set(pos[sel] + axis_w * q[:, None])
+      rows = jnp.concatenate([jnp.zeros_like(axis_w), axis_w], axis=-1)
+      cdof = cdof.at[dadr].set(rows)
+
+    sel, jids, qadr, dadr = level.ball
+    if len(sel):
+      qj = tmath.quat_normalize(
+          jnp.stack([qpos[qadr + i] for i in range(4)], axis=-1))
+      jpos = model.jnt_pos[jids]
+      p0, q0 = pos[sel], quat[sel]
+      anchor = p0 + tmath.quat_rotate(q0, jpos)
+      qn = tmath.quat_mul(q0, qj)
+      pn = anchor - tmath.quat_rotate(qn, jpos)
+      pos = pos.at[sel].set(pn)
+      quat = quat.at[sel].set(qn)
+      axes_w = jnp.swapaxes(tmath.quat_to_mat(qn), -1, -2)  # rows = R e_i
+      lin = jnp.cross(axes_w, -anchor[:, None, :])
+      rows = jnp.concatenate([axes_w, lin], axis=-1)       # (k, 3, 6)
+      dof_rows = (dadr[:, None] + np.arange(3)[None]).reshape(-1)
+      cdof = cdof.at[dof_rows].set(rows.reshape(-1, 6))
+
+    sel, jids, qadr, dadr = level.free
+    if len(sel):
+      pn = jnp.stack([qpos[qadr + i] for i in range(3)], axis=-1)
+      qn = tmath.quat_normalize(
+          jnp.stack([qpos[qadr + 3 + i] for i in range(4)], axis=-1))
+      pos = pos.at[sel].set(pn)
+      quat = quat.at[sel].set(qn)
+      k = len(sel)
+      eye = jnp.eye(3, dtype=dtype)
+      trans_rows = jnp.concatenate(
+          [jnp.zeros((k, 3, 3), dtype),
+           jnp.broadcast_to(eye, (k, 3, 3))], axis=-1)
+      axes_w = jnp.swapaxes(tmath.quat_to_mat(qn), -1, -2)  # rows = R e_i
+      lin = jnp.cross(axes_w, -pn[:, None, :])
+      rot_rows = jnp.concatenate([axes_w, lin], axis=-1)
+      rows = jnp.concatenate([trans_rows, rot_rows], axis=1)  # (k, 6, 6)
+      dof_rows = (dadr[:, None] + np.arange(6)[None]).reshape(-1)
+      cdof = cdof.at[dof_rows].set(rows.reshape(-1, 6))
+
+    msel, mids = level.mocap
+    if len(msel):
+      pos = pos.at[msel].set(data.mocap_pos[mids])
+      quat = quat.at[msel].set(data.mocap_quat[mids])
+
+    xpos = xpos.at[ids].set(pos)
+    xquat = xquat.at[ids].set(quat)
+
+  return _fwd_position_finish(model, data, xpos, xquat, cdof)
+
+
+def _fwd_position_finish(model: Model, data: Data, xpos, xquat, cdof):
+  """Shared tail: inertial/site/geom frames + tendon lengths."""
+  qpos = data.qpos
+  xmat = tmath.quat_to_mat(xquat)
+  xipos = xpos + jnp.einsum('bij,bj->bi', xmat, model.body_ipos)
+  ximat = jnp.einsum('bij,bjk->bik', xmat,
+                     tmath.quat_to_mat(model.body_iquat))
+  sb = np.asarray(model.site_bodyid, dtype=np.int32)
+  site_xpos = xpos[sb] + jnp.einsum('sij,sj->si', xmat[sb], model.site_pos)
+  site_xmat = jnp.einsum('sij,sjk->sik', xmat[sb],
+                         tmath.quat_to_mat(model.site_quat))
+  gb = np.asarray(model.geom_bodyid, dtype=np.int32)
+  geom_xpos = xpos[gb] + jnp.einsum('gij,gj->gi', xmat[gb], model.geom_pos)
+  geom_xmat = jnp.einsum('gij,gjk->gik', xmat[gb],
+                         tmath.quat_to_mat(model.geom_quat))
+  if model.ntendon:
+    dof_qposadr = _dof_qposadr(model)
+    ten_length = model.tendon_moment @ qpos[dof_qposadr]
+  else:
+    ten_length = jnp.zeros((0,), qpos.dtype)
+  return data.replace(
+      xpos=xpos, xquat=xquat, xipos=xipos, ximat=ximat,
+      site_xpos=site_xpos, site_xmat=site_xmat,
+      geom_xpos=geom_xpos, geom_xmat=geom_xmat,
+      cdof=cdof, ten_length=ten_length)
+
+
+def _fwd_position_unrolled(model: Model, data: Data) -> Data:
+  """General body-at-a-time FK (multi-joint bodies)."""
   qpos = data.qpos
 
   xpos = [jnp.zeros(3)]
@@ -113,37 +243,9 @@ def fwd_position(model: Model, data: Data) -> Data:
 
   xpos = jnp.stack(xpos)
   xquat = jnp.stack(xquat)
-  xmat = tmath.quat_to_mat(xquat)
-
-  # Inertial frames.
-  xipos = xpos + jnp.einsum('bij,bj->bi', xmat, model.body_ipos)
-  ximat = jnp.einsum('bij,bjk->bik', xmat, tmath.quat_to_mat(model.body_iquat))
-
-  # Sites and geoms.
-  sb = np.asarray(model.site_bodyid, dtype=np.int32)
-  site_xpos = xpos[sb] + jnp.einsum('sij,sj->si', xmat[sb], model.site_pos)
-  site_xmat = jnp.einsum('sij,sjk->sik', xmat[sb],
-                         tmath.quat_to_mat(model.site_quat))
-  gb = np.asarray(model.geom_bodyid, dtype=np.int32)
-  geom_xpos = xpos[gb] + jnp.einsum('gij,gj->gi', xmat[gb], model.geom_pos)
-  geom_xmat = jnp.einsum('gij,gjk->gik', xmat[gb],
-                         tmath.quat_to_mat(model.geom_quat))
-
   cdof = (jnp.stack(cdof_rows) if model.nv
           else jnp.zeros((0, 6), qpos.dtype))
-
-  # Fixed-tendon lengths: coef @ qpos gathered at scalar-dof addresses.
-  if model.ntendon:
-    dof_qposadr = _dof_qposadr(model)
-    ten_length = model.tendon_moment @ qpos[dof_qposadr]
-  else:
-    ten_length = jnp.zeros((0,), qpos.dtype)
-
-  return data.replace(
-      xpos=xpos, xquat=xquat, xipos=xipos, ximat=ximat,
-      site_xpos=site_xpos, site_xmat=site_xmat,
-      geom_xpos=geom_xpos, geom_xmat=geom_xmat,
-      cdof=cdof, ten_length=ten_length)
+  return _fwd_position_finish(model, data, xpos, xquat, cdof)
 
 
 def _dof_qposadr(model: Model) -> np.ndarray:

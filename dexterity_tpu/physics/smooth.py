@@ -97,12 +97,89 @@ def _inertia_mul(mass, com, iw, motion):
 
 
 def rne(model: Model, data: Data) -> Data:
-  """qfrc_bias = C(q, v)·v + G(q), via Newton–Euler with qacc = 0."""
+  """qfrc_bias = C(q, v)·v + G(q), via Newton–Euler with qacc = 0.
+
+  Level-wise vectorized forward sweep when every body has at most one
+  joint; general recursion otherwise.
+  """
+  from dexterity_tpu.physics import tree
+  tables = tree.tree_tables(model)
   dtype = data.qpos.dtype
   iw = tmath.inertia_world(model.body_mass, model.body_inertia, data.ximat)
 
-  # Forward pass: per-body velocity (already in cvel) and bias acceleration.
-  cacc = [jnp.concatenate([jnp.zeros(3, dtype), -model.opt.gravity])]
+  if tables.single_jointed:
+    cvel, cacc = _vel_acc_levels(model, data, tables, dtype)
+  else:
+    cvel, cacc = _vel_acc_unrolled(model, data, dtype)
+
+  # Per-body bias force (vectorized): f = I a + v ×* (I v).
+  iv = _inertia_mul_batch(model.body_mass, data.xipos, iw, cvel)
+  ia = _inertia_mul_batch(model.body_mass, data.xipos, iw, cacc)
+  forces = ia + _force_cross_batch(cvel, iv)
+
+  # Backward pass as a mask contraction: qfrc_bias_i = Σ_{b ∈ subtree(i)}
+  # cdof_i · f_b  ==  Σ_b ancestor_mask[b, i] (cdof_i · f_b).
+  mask = jnp.asarray(kinematics.ancestor_mask(model), dtype=dtype)
+  qfrc_bias = (data.cdof * (mask.T @ forces)).sum(axis=1)
+  return data.replace(qfrc_bias=qfrc_bias, cvel=cvel)
+
+
+def _vel_acc_levels(model: Model, data: Data, tables, dtype):
+  """Level-wise forward velocity/bias-acceleration sweep."""
+  nbody = model.nbody
+  grav_base = jnp.concatenate([jnp.zeros(3, dtype),
+                               -model.opt.gravity.astype(dtype)])
+  cvel = jnp.zeros((nbody, 6), dtype)
+  cacc = jnp.zeros((nbody, 6), dtype).at[0].set(grav_base)
+  qvel = data.qvel
+  cdof = data.cdof
+
+  for level in tables.levels:
+    vel = cvel[level.parent]
+    acc = cacc[level.parent]
+
+    for sub in (level.hinge, level.slide):
+      sel, _, _, dadr = sub
+      if len(sel):
+        cd = cdof[dadr]
+        qd = qvel[dadr][:, None]
+        acc = acc.at[sel].add(_motion_cross(vel[sel], cd) * qd)
+        vel = vel.at[sel].add(cd * qd)
+
+    sel, _, _, dadr = level.ball
+    if len(sel):
+      rows = dadr[:, None] + np.arange(3)[None]           # (k, 3)
+      cd = cdof[rows]                                     # (k, 3, 6)
+      qd = qvel[rows][..., None]                          # (k, 3, 1)
+      contrib = (cd * qd).sum(axis=1)
+      vel_full = vel[sel] + contrib
+      acc_add = (_motion_cross(vel_full[:, None, :], cd) * qd).sum(axis=1)
+      acc = acc.at[sel].add(acc_add)
+      vel = vel.at[sel].set(vel_full)
+
+    sel, _, _, dadr = level.free
+    if len(sel):
+      rows = dadr[:, None] + np.arange(6)[None]           # (k, 6)
+      cd = cdof[rows]                                     # (k, 6, 6)
+      qd = qvel[rows][..., None]
+      contrib = (cd * qd).sum(axis=1)
+      vel_full = vel[sel] + contrib
+      cd_rot = cd[:, 3:]
+      qd_rot = qd[:, 3:]
+      acc_add = (_motion_cross(vel_full[:, None, :], cd_rot)
+                 * qd_rot).sum(axis=1)
+      acc = acc.at[sel].add(acc_add)
+      vel = vel.at[sel].set(vel_full)
+
+    cvel = cvel.at[level.ids].set(vel)
+    cacc = cacc.at[level.ids].set(acc)
+  return cvel, cacc
+
+
+def _vel_acc_unrolled(model: Model, data: Data, dtype):
+  """General body-at-a-time sweep (multi-joint bodies)."""
+  cacc = [jnp.concatenate([jnp.zeros(3, dtype),
+                           -model.opt.gravity.astype(dtype)])]
   cvel_list = [jnp.zeros(6, dtype)]
   for b in range(1, model.nbody):
     parent = model.body_parentid[b]
@@ -116,14 +193,9 @@ def rne(model: Model, data: Data) -> Data:
       if jtype in (JointType.HINGE, JointType.SLIDE):
         cdof_d = data.cdof[dadr]
         qd = data.qvel[dadr]
-        # Screw axis is fixed in the parent chain: its time-derivative is
-        # the accumulated velocity × axis.
         acc = acc + _motion_cross(vel, cdof_d) * qd
         vel = vel + cdof_d * qd
       else:
-        # BALL / FREE: the rotational screw axes are fixed in the *child*
-        # body, so their derivative uses the full child spatial velocity
-        # (the antisymmetric self-terms cancel in the qvel-weighted sum).
         width = _dof_width(model, ji)
         contrib = sum(data.cdof[d] * data.qvel[d]
                       for d in range(dadr, dadr + width))
@@ -134,23 +206,24 @@ def rne(model: Model, data: Data) -> Data:
         vel = vel_full
     cvel_list.append(vel)
     cacc.append(acc)
+  return jnp.stack(cvel_list), jnp.stack(cacc)
 
-  cvel = jnp.stack(cvel_list)                    # (nbody, 6)
-  cacc = jnp.stack(cacc)                         # (nbody, 6)
 
-  # Per-body bias force: f = I a + v ×* (I v).
-  def body_force(b):
-    iv = _inertia_mul(model.body_mass[b], data.xipos[b], iw[b], cvel[b])
-    ia = _inertia_mul(model.body_mass[b], data.xipos[b], iw[b], cacc[b])
-    return ia + _force_cross(cvel[b], iv)
+def _inertia_mul_batch(mass, com, iw, motion):
+  """Vectorized spatial-inertia application: (nbody,…) -> (nbody, 6)."""
+  ang, lin0 = motion[..., :3], motion[..., 3:]
+  h = mass[:, None] * (lin0 + jnp.cross(ang, com))
+  l0 = jnp.einsum('bij,bj->bi', iw, ang) + jnp.cross(com, h)
+  return jnp.concatenate([l0, h], axis=-1)
 
-  forces = jnp.stack([body_force(b) for b in range(model.nbody)])
 
-  # Backward pass as a mask contraction: qfrc_bias_i = Σ_{b ∈ subtree(i)}
-  # cdof_i · f_b  ==  Σ_b ancestor_mask[b, i] (cdof_i · f_b).
-  mask = jnp.asarray(kinematics.ancestor_mask(model), dtype=dtype)
-  qfrc_bias = jnp.einsum('vk,bk,bv->v', data.cdof, forces, mask)
-  return data.replace(qfrc_bias=qfrc_bias, cvel=cvel)
+def _force_cross_batch(v, f):
+  vang, vlin = v[..., :3], v[..., 3:]
+  tau0, force = f[..., :3], f[..., 3:]
+  return jnp.concatenate([
+      jnp.cross(vang, tau0) + jnp.cross(vlin, force),
+      jnp.cross(vang, force),
+  ], axis=-1)
 
 
 def _force_cross(v: jax.Array, f: jax.Array) -> jax.Array:
@@ -203,28 +276,29 @@ def actuation(model: Model, data: Data) -> Data:
   if nu == 0:
     return data.replace(qfrc_actuator=jnp.zeros(model.nv, dtype))
 
-  dof_qposadr = kinematics._dof_qposadr(model)
+  # Static transmission tables -> vectorized gathers/scatters.
+  trntype = np.asarray(model.actuator_trntype)
+  trnid = np.asarray(model.actuator_trnid)
+  u_jnt = np.where(trntype == int(ActuatorTrn.JOINT))[0]
+  u_ten = np.where(trntype == int(ActuatorTrn.TENDON))[0]
+  gear = model.actuator_gear
 
-  lengths = []
-  velocities = []
-  moments = []  # (nu, nv)
-  for u in range(nu):
-    trnid = model.actuator_trnid[u]
-    gear = model.actuator_gear[u]
-    if model.actuator_trntype[u] == int(ActuatorTrn.JOINT):
-      qadr = model.jnt_qposadr[trnid]
-      dadr = model.jnt_dofadr[trnid]
-      lengths.append(data.qpos[qadr] * gear)
-      velocities.append(data.qvel[dadr] * gear)
-      moments.append(jnp.zeros(model.nv, dtype).at[dadr].set(gear))
-    else:  # TENDON
-      lengths.append(data.ten_length[trnid] * gear)
-      velocities.append(data.ten_velocity[trnid] * gear)
-      moments.append(model.tendon_moment[trnid] * gear)
-
-  length = jnp.stack(lengths)
-  velocity = jnp.stack(velocities)
-  moment = jnp.stack(moments)                    # (nu, nv)
+  length = jnp.zeros(nu, dtype)
+  velocity = jnp.zeros(nu, dtype)
+  moment = jnp.zeros((nu, model.nv), dtype)
+  if len(u_jnt):
+    qadr = np.asarray([model.jnt_qposadr[t] for t in trnid[u_jnt]])
+    dadr = np.asarray([model.jnt_dofadr[t] for t in trnid[u_jnt]])
+    length = length.at[u_jnt].set(data.qpos[qadr] * gear[u_jnt])
+    velocity = velocity.at[u_jnt].set(data.qvel[dadr] * gear[u_jnt])
+    moment = moment.at[u_jnt, dadr].set(gear[u_jnt])
+  if len(u_ten):
+    tids = trnid[u_ten]
+    length = length.at[u_ten].set(data.ten_length[tids] * gear[u_ten])
+    velocity = velocity.at[u_ten].set(
+        data.ten_velocity[tids] * gear[u_ten])
+    moment = moment.at[u_ten].set(
+        model.tendon_moment[tids] * gear[u_ten][:, None])
 
   ctrl = jnp.clip(data.ctrl, model.actuator_ctrlrange[:, 0],
                   model.actuator_ctrlrange[:, 1])
@@ -254,23 +328,28 @@ def actuation(model: Model, data: Data) -> Data:
 
 def integrate_pos(model: Model, qpos: jax.Array, qvel: jax.Array,
                   dt) -> jax.Array:
-  """mj_integratePos: qpos ← qpos ⊕ qvel·dt (quaternion-aware)."""
+  """mj_integratePos: qpos ← qpos ⊕ qvel·dt (quaternion-aware,
+  vectorized per joint class)."""
   out = qpos
-  for ji in range(model.njnt):
-    jtype = JointType(model.jnt_type[ji])
+  types = np.asarray(model.jnt_type)
+  scalar = np.where((types == int(JointType.HINGE))
+                    | (types == int(JointType.SLIDE)))[0]
+  if len(scalar):
+    qadr = np.asarray([model.jnt_qposadr[j] for j in scalar])
+    dadr = np.asarray([model.jnt_dofadr[j] for j in scalar])
+    out = out.at[qadr].set(qpos[qadr] + dt * qvel[dadr])
+  for ji in np.where(types == int(JointType.BALL))[0]:
     qadr, dadr = model.jnt_qposadr[ji], model.jnt_dofadr[ji]
-    if jtype == JointType.FREE:
-      out = out.at[qadr:qadr + 3].set(
-          qpos[qadr:qadr + 3] + dt * qvel[dadr:dadr + 3])
-      quat = tmath.quat_integrate(
-          qpos[qadr + 3:qadr + 7], qvel[dadr + 3:dadr + 6], dt)
-      out = out.at[qadr + 3:qadr + 7].set(quat)
-    elif jtype == JointType.BALL:
-      quat = tmath.quat_integrate(qpos[qadr:qadr + 4],
-                                  qvel[dadr:dadr + 3], dt)
-      out = out.at[qadr:qadr + 4].set(quat)
-    else:
-      out = out.at[qadr].set(qpos[qadr] + dt * qvel[dadr])
+    quat = tmath.quat_integrate(qpos[qadr:qadr + 4],
+                                qvel[dadr:dadr + 3], dt)
+    out = out.at[qadr:qadr + 4].set(quat)
+  for ji in np.where(types == int(JointType.FREE))[0]:
+    qadr, dadr = model.jnt_qposadr[ji], model.jnt_dofadr[ji]
+    out = out.at[qadr:qadr + 3].set(
+        qpos[qadr:qadr + 3] + dt * qvel[dadr:dadr + 3])
+    quat = tmath.quat_integrate(
+        qpos[qadr + 3:qadr + 7], qvel[dadr + 3:dadr + 6], dt)
+    out = out.at[qadr + 3:qadr + 7].set(quat)
   return out
 
 

@@ -1,0 +1,175 @@
+"""Physics conformance vs MuJoCo on the imported hand models.
+
+Three layers (SURVEY.md §4 'new conformance layer'):
+  * smooth dynamics of all three hands (constraints disabled both sides);
+  * constrained contact scenes (ball on plane: bounce/slide/roll);
+  * full-constraint Adroit trajectory (limits + frictionloss + tendon
+    couplings + explicit-pair contacts).
+MuJoCo is test-only; runtime never imports it.
+"""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+mujoco = pytest.importorskip('mujoco')
+
+from dexterity_tpu.core import types as T
+from dexterity_tpu.mjcf.parser import load_mjcf
+from dexterity_tpu.physics import step as tstep
+
+_VENDOR = '/root/reference/dexterity/models/vendor'
+HANDS = {
+    'adroit': f'{_VENDOR}/adroit/adroit_hand_description/mjcf/adroit_hand.xml',
+    'shadow': f'{_VENDOR}/shadow_robot/shadow_hand_description/mjcf/shadow_hand_series_e.xml',
+    'mpl_right': f'{_VENDOR}/mpl/mpl_hand_description/mjcf/mpl_right.xml',
+}
+
+pytestmark = pytest.mark.skipif(
+    not __import__('os').path.isdir(_VENDOR),
+    reason='reference vendor XMLs unavailable')
+
+
+def load_mj(path):
+  import os
+  import tempfile
+  src_dir = os.path.dirname(path)
+  tmp = tempfile.mkdtemp()
+  mjcf_dir = os.path.join(tmp, 'mjcf')
+  os.makedirs(mjcf_dir)
+  parent = os.path.dirname(src_dir)
+  for entry in os.listdir(parent):
+    if entry != 'mjcf':
+      os.symlink(os.path.join(parent, entry), os.path.join(tmp, entry))
+  for entry in os.listdir(src_dir):
+    text = open(os.path.join(src_dir, entry)).read()
+    text = re.sub(r'apirate="[^"]*"\s*', '', text)
+    with open(os.path.join(mjcf_dir, entry), 'w') as f:
+      f.write(text)
+  return mujoco.MjModel.from_xml_path(
+      os.path.join(mjcf_dir, os.path.basename(path)))
+
+
+@pytest.mark.parametrize('hand', sorted(HANDS))
+def test_hand_smooth_dynamics(hand):
+  path = HANDS[hand]
+  mm = load_mj(path)
+  mm.opt.disableflags |= mujoco.mjtDisableBit.mjDSBL_CONSTRAINT
+  md = mujoco.MjData(mm)
+  model = load_mjcf(path).compile()
+  model = model.replace(opt=model.opt.replace(disable_constraint=True))
+
+  rng = np.random.RandomState(0)
+  lo, hi = mm.jnt_range[:, 0], mm.jnt_range[:, 1]
+  qpos = lo + rng.uniform(0.15, 0.85, mm.nq) * (hi - lo)
+  qvel = rng.uniform(-0.5, 0.5, mm.nv)
+  ctrl = mm.actuator_ctrlrange[:, 0] + rng.uniform(0, 1, mm.nu) * (
+      mm.actuator_ctrlrange[:, 1] - mm.actuator_ctrlrange[:, 0])
+  md.qpos[:] = qpos
+  md.qvel[:] = qvel
+  md.ctrl[:] = ctrl
+  mujoco.mj_forward(mm, md)
+
+  data = T.make_data(model, dtype=jnp.float64)
+  data = data.replace(qpos=jnp.asarray(qpos), qvel=jnp.asarray(qvel),
+                      ctrl=jnp.asarray(ctrl))
+  data = jax.jit(lambda d: tstep.forward(model, d))(data)
+
+  np.testing.assert_allclose(np.asarray(data.xpos), md.xpos, atol=1e-12)
+  np.testing.assert_allclose(np.asarray(data.ten_length), md.ten_length,
+                             atol=1e-12)
+  qm = np.zeros((mm.nv, mm.nv))
+  mujoco.mj_fullM(mm, md, qm)
+  np.testing.assert_allclose(np.asarray(data.qM), qm, atol=1e-12)
+  np.testing.assert_allclose(np.asarray(data.qfrc_bias), md.qfrc_bias,
+                             atol=1e-12)
+  np.testing.assert_allclose(np.asarray(data.qfrc_actuator),
+                             md.qfrc_actuator, atol=1e-12)
+  np.testing.assert_allclose(np.asarray(data.qacc), md.qacc, atol=1e-8)
+
+  nsteps = 50
+  for _ in range(nsteps):
+    mujoco.mj_step(mm, md)
+  data = jax.jit(lambda d: tstep.step_n(model, d, nsteps))(data)
+  np.testing.assert_allclose(np.asarray(data.qpos), md.qpos, atol=1e-10)
+  np.testing.assert_allclose(np.asarray(data.qvel), md.qvel, atol=1e-9)
+
+
+BALL_XML = """
+<mujoco>
+  <option timestep="0.002"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="1 1 0.1" friction="0.6 0.008 0.001"/>
+    <body name="ball" pos="0 0 0.1">
+      <freejoint/>
+      <geom name="b" type="sphere" size="0.05" mass="0.1"
+            friction="0.6 0.008 0.001" condim="6"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+
+def _ball_spec():
+  from dexterity_tpu.core import spec as S
+  ms = S.ModelSpec(name='ball')
+  ms.option.timestep = 0.002
+  ms.worldbody.add_geom('floor', type=T.GeomType.PLANE,
+                        size=np.array([1.0, 1.0, 0.1]),
+                        friction=(0.6, 0.008, 0.001))
+  b = ms.worldbody.add_body('ball', pos=np.array([0.0, 0.0, 0.1]))
+  b.add_joint('f', type=T.JointType.FREE)
+  b.add_geom('b', type=T.GeomType.SPHERE, size=np.array([0.05, 0, 0]),
+             mass=0.1, friction=(0.6, 0.008, 0.001), condim=6)
+  return ms
+
+
+@pytest.mark.parametrize('case,qpos,qvel', [
+    ('rest', [0, 0, 0.0495, 1, 0, 0, 0], [0, 0, 0, 0, 0, 0]),
+    ('slide', [0, 0, 0.0495, 1, 0, 0, 0], [0.5, 0, 0, 0, 0, 0]),
+    ('dropspin', [0, 0, 0.1, 1, 0, 0, 0], [0.5, 0.1, 0, 0, 3.0, 1.0]),
+])
+def test_ball_contact_trajectories(case, qpos, qvel):
+  mm = mujoco.MjModel.from_xml_string(BALL_XML)
+  md = mujoco.MjData(mm)
+  md.qpos[:] = qpos
+  md.qvel[:] = qvel
+  mujoco.mj_forward(mm, md)
+  model = _ball_spec().compile()
+  data = T.make_data(model, dtype=jnp.float64)
+  data = data.replace(qpos=jnp.asarray(np.asarray(qpos, np.float64)),
+                      qvel=jnp.asarray(np.asarray(qvel, np.float64)))
+  nsteps = 300
+  for _ in range(nsteps):
+    mujoco.mj_step(mm, md)
+  data = jax.jit(lambda d: tstep.step_n(model, d, nsteps))(data)
+  np.testing.assert_allclose(np.asarray(data.qpos), md.qpos, atol=1e-6)
+  np.testing.assert_allclose(np.asarray(data.qvel), md.qvel, atol=1e-5)
+
+
+def test_adroit_full_constraints_trajectory():
+  """Limits + frictionloss + tendon couplings + explicit-pair contacts."""
+  path = HANDS['adroit']
+  mm = load_mj(path)
+  md = mujoco.MjData(mm)
+  model = load_mjcf(path).compile()
+  rng = np.random.RandomState(3)
+  lo, hi = mm.jnt_range[:, 0], mm.jnt_range[:, 1]
+  qpos = lo + rng.uniform(0.2, 0.8, mm.nq) * (hi - lo)
+  ctrl = mm.actuator_ctrlrange[:, 0] + rng.uniform(0, 1, mm.nu) * (
+      mm.actuator_ctrlrange[:, 1] - mm.actuator_ctrlrange[:, 0])
+  md.qpos[:] = qpos
+  md.ctrl[:] = ctrl
+  mujoco.mj_forward(mm, md)
+  data = T.make_data(model, dtype=jnp.float64)
+  data = data.replace(qpos=jnp.asarray(qpos), ctrl=jnp.asarray(ctrl))
+  stepj = jax.jit(lambda d: tstep.step(model, d))
+  errs = []
+  for _ in range(200):
+    mujoco.mj_step(mm, md)
+    data = stepj(data)
+    errs.append(np.max(np.abs(np.asarray(data.qpos) - md.qpos)))
+  assert max(errs) < 1e-3, max(errs)  # BASELINE.md tolerance is 1e-2

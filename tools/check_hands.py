@@ -54,6 +54,7 @@ def check(name, path, seed=0):
 
   spec = load_mjcf(path)
   model = spec.compile()
+  model = model.replace(opt=model.opt.replace(disable_constraint=True))
   assert model.nq == mm.nq and model.nv == mm.nv and model.nu == mm.nu, (
       model.nq, mm.nq, model.nv, mm.nv, model.nu, mm.nu)
 
