@@ -227,12 +227,13 @@ class Model:
 
 @pytree_dataclass
 class Contact:
-  """Static-shape batch of contact points (one per candidate pair slot)."""
+  """Static-shape batch of contact points (one per candidate pair slot).
+
+  The geom ids per slot are compile-time constants — see
+  physics.collision.primitives.point_geom_ids(model)."""
   dist: jax.Array      # (npoint,) signed distance (penetration < 0)
   pos: jax.Array       # (npoint, 3) midpoint position
   frame: jax.Array     # (npoint, 3, 3) rows: normal, tangent1, tangent2
-  geom1: jax.Array     # (npoint,) int
-  geom2: jax.Array     # (npoint,) int
 
 
 @pytree_dataclass
@@ -321,8 +322,6 @@ def make_data(model: Model, dtype=None) -> Data:
           dist=jnp.full((npoint,), 1e10, dtype=dtype),
           pos=z(npoint, 3),
           frame=jnp.tile(jnp.eye(3, dtype=dtype), (npoint, 1, 1)),
-          geom1=-jnp.ones((npoint,), dtype=jnp.int32),
-          geom2=-jnp.ones((npoint,), dtype=jnp.int32),
       ),
   )
 

@@ -1,0 +1,46 @@
+"""Batched environment utilities: vmapped reset/step with auto-reset.
+
+The TPU-native analogue of running thousands of reference environments:
+one `BatchedEnvironment` holds B independent episodes as a single sharded
+pytree; `step` auto-resets episodes that terminated (the standard RL
+training loop contract).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from dexterity_tpu import environment as env_lib
+
+
+class BatchedEnvironment:
+  """Auto-resetting batch of GoalEnvironments (one compiled program)."""
+
+  def __init__(self, env: env_lib.GoalEnvironment, batch_size: int):
+    self.env = env
+    self.batch_size = batch_size
+    self._reset = jax.vmap(env.reset)
+    self._step = jax.vmap(env.step)
+
+  def reset(self, key: jax.Array):
+    keys = jax.random.split(key, self.batch_size)
+    return self._reset(keys)
+
+  def step(self, state, actions):
+    """Steps all envs; episodes that ended are reset in place.
+
+    Returns (state, timestep) where ended episodes report their terminal
+    timestep and the state already holds the next episode's start.
+    """
+    new_state, ts = self._step(state, actions)
+    done = ts.step_type == env_lib.StepType.LAST
+
+    reset_state, _ = self._reset(new_state.key)
+
+    def select(a, b):
+      shape = (-1,) + (1,) * (a.ndim - 1)
+      return jnp.where(done.reshape(shape), a, b)
+
+    merged = jax.tree_util.tree_map(select, reset_state, new_state)
+    return merged, ts

@@ -255,8 +255,6 @@ def collide_all(model: Model, data: Data) -> Data:
   dist = jnp.full((total_rows,), _BIG, dtype)
   pos = jnp.zeros((total_rows, 3), dtype)
   frame = jnp.tile(jnp.eye(3, dtype=dtype), (total_rows, 1, 1))
-  geom1 = np.full(total_rows, -1, np.int32)
-  geom2 = np.full(total_rows, -1, np.int32)
 
   for (t1, t2), grp in groups.items():
     if (t1, t2) not in _KERNELS:
@@ -272,14 +270,25 @@ def collide_all(model: Model, data: Data) -> Data:
     dist = dist.at[rows].set(d.reshape(-1))
     pos = pos.at[rows].set(p.reshape(-1, 3))
     frame = frame.at[rows].set(_tangent_frame(n.reshape(-1, 3)))
-    for gi, (a, b) in enumerate(zip(grp['g1'], grp['g2'])):
-      geom1[grp['row'][gi]:grp['row'][gi] + k] = a
-      geom2[grp['row'][gi]:grp['row'][gi] + k] = b
 
   assert total_rows == num_contact_points(model) or model.npair == 0
-  contact = Contact(dist=dist, pos=pos, frame=frame,
-                    geom1=jnp.asarray(geom1), geom2=jnp.asarray(geom2))
+  contact = Contact(dist=dist, pos=pos, frame=frame)
   return data.replace(contact=contact)
+
+
+def point_geom_ids(model: Model):
+  """Static (geom1, geom2) int arrays per contact-point slot (the kernels'
+  canonical ordering: geom1.type <= geom2.type)."""
+  groups, total_rows = _pair_groups(model)
+  geom1 = np.full(total_rows, -1, np.int32)
+  geom2 = np.full(total_rows, -1, np.int32)
+  for (t1, t2), grp in groups.items():
+    _, k = _KERNELS[(t1, t2)]
+    for gi in range(len(grp['g1'])):
+      r = grp['row'][gi]
+      geom1[r:r + k] = grp['g1'][gi]
+      geom2[r:r + k] = grp['g2'][gi]
+  return geom1, geom2
 
 
 def contact_row_table(model: Model):

@@ -300,8 +300,9 @@ def _contact_rows(model: Model, data: Data, dtype):
   dist = data.contact.dist[sel]
   pos = data.contact.pos[sel]
   frame = data.contact.frame[sel]                       # (k, 3, 3)
-  geom1 = data.contact.geom1[sel]
-  geom2 = data.contact.geom2[sel]
+  pg1, pg2 = primitives.point_geom_ids(model)           # static per slot
+  geom1 = jnp.asarray(pg1)[sel]
+  geom2 = jnp.asarray(pg2)[sel]
   margin = model.pair_margin[pair_sel]
   solref = model.pair_solref[pair_sel]
   solimp = model.pair_solimp[pair_sel]
