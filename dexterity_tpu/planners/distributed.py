@@ -39,7 +39,7 @@ def sharded_solve(planner: PredictiveSampling, mesh, data, goal,
     # (values mix with per-shard candidates inside the rollouts).
     def _vary(x):
       if hasattr(jax.lax, 'pcast'):
-        return jax.lax.pcast(x, to='varying', axes=BATCH_AXIS)
+        return jax.lax.pcast(x, BATCH_AXIS, to='varying')
       return jax.lax.pvary(x, BATCH_AXIS)
     data = jax.tree_util.tree_map(_vary, data)
     goal = _vary(goal)
