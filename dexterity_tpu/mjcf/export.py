@@ -58,7 +58,9 @@ def export_for_conformance(spec: S.ModelSpec) -> str:
         geom2=model.geom_names[model.pair_geom2[i]],
         condim=model.pair_condim[i], friction=tuple(fr[i]),
         solref=tuple(sr[i]), solimp=tuple(si[i]), margin=float(mg[i])))
-  return export_mjcf(spec)
+  # keep_visual: geoms all have contype/conaffinity 0 here, but must still
+  # exist for the explicit pair list to reference them.
+  return export_mjcf(spec, keep_visual=True)
 
 
 def export_mjcf(spec: S.ModelSpec, keep_visual: bool = False) -> str:

@@ -171,45 +171,18 @@ def _capsule_box(p1, m1, s1, p2, m2, s2):
   n = jnp.stack(ns)
   order = jnp.argsort(d)
   idx = order[:2]
-  return d[idx], p[idx], n[idx]
+  d_sel, p_sel, n_sel = d[idx], p[idx], n[idx]
+  # Candidates can coincide (e.g. segment-closest == an endpoint); a
+  # duplicated point would double its contact force.
+  dup = jnp.linalg.norm(p_sel[1] - p_sel[0]) < 1e-7
+  d_sel = d_sel.at[1].set(jnp.where(dup, _BIG, d_sel[1]))
+  return d_sel, p_sel, n_sel
 
 
 def _box_box(p1, m1, s1, p2, m2, s2):
-  """Vertex-face contacts both ways; keeps the 8 deepest of 16 candidates.
-
-  A full SAT with edge-edge manifolds is planned as a later refinement; for
-  the dexterity tasks (cube against fitted palm/finger boxes) vertex-face
-  dominates.
-  """
-  corners = jnp.asarray(np.array(
-      [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
-      dtype=np.float64))
-
-  def verts_into_box(pv, mv, sv, pb, mb, sb, flip):
-    pts = pv + (corners * sv) @ mv.T                     # (8,3) world verts
-    local = (pts - pb) @ mb                               # into box frame
-    face_dist = sb - jnp.abs(local)                       # (8,3)
-    inside = jnp.all(face_dist > 0, axis=1)
-    ax = jnp.argmin(face_dist, axis=1)
-    sign = jnp.sign(jnp.take_along_axis(local, ax[:, None], 1))[:, 0]
-    sign = jnp.where(sign == 0, 1.0, sign)
-    depth = jnp.take_along_axis(face_dist, ax[:, None], 1)[:, 0]
-    d = jnp.where(inside, -depth, _BIG)
-    # Normal: outward box face normal; orient from geom1 to geom2.
-    face_n = jnp.take_along_axis(
-        jnp.broadcast_to(mb.T[None], (8, 3, 3)), ax[:, None, None], 1)[:, 0]
-    n = face_n * sign[:, None]
-    n = jnp.where(flip, n, -n)
-    pos = pts
-    return d, pos, n
-
-  d1, pos1, n1 = verts_into_box(p1, m1, s1, p2, m2, s2, flip=True)
-  d2, pos2, n2 = verts_into_box(p2, m2, s2, p1, m1, s1, flip=False)
-  d = jnp.concatenate([d1, d2])
-  pos = jnp.concatenate([pos1, pos2])
-  n = jnp.concatenate([n1, n2])
-  idx = jnp.argsort(d)[:8]
-  return d[idx], pos[idx], n[idx]
+  """SAT + reference-face clipping manifold (see box_box module)."""
+  from dexterity_tpu.physics.collision import box_box
+  return box_box.box_box(p1, m1, s1, p2, m2, s2)
 
 
 _KERNELS = {
