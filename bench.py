@@ -19,6 +19,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: TPU compiles of the big solve graph take
+# minutes; cache hits make repeat runs (and the driver's run) fast.
+os.makedirs('/tmp/dexterity_tpu_jax_cache', exist_ok=True)
+jax.config.update('jax_compilation_cache_dir', '/tmp/dexterity_tpu_jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
+
 
 def main():
   from dexterity_tpu import manipulation

@@ -163,6 +163,15 @@ class GoalEnvironment:
     data = self.task.goal_generator.initialize_episode(
         model, data, k_goal_init)
     goal, data, ok = self._sample_goal(data, k_goal)
+    data = self.task.on_goal_update(
+        model, data, TaskState(
+            goal=goal, goal_distance=jnp.zeros(()), successes=jnp.zeros((), jnp.int32),
+            success_change_counter=jnp.zeros((), jnp.int32),
+            solve_start_time=jnp.zeros(()),
+            exceeded_single_goal_time=jnp.asarray(False),
+            success_registered=jnp.asarray(False),
+            goal_changed=jnp.asarray(True),
+            failure_termination=jnp.asarray(False), goal_ok=ok))
     data = physics_step.forward(model, data)
     cur = self.task.goal_generator.current_state(model, data)
     tstate = self._task_state_after_goal(
@@ -211,8 +220,7 @@ class GoalEnvironment:
                                    tstate.solve_start_time),
         success_registered=jnp.where(switch, False,
                                      tstate.success_registered))
-    tstate = self.task.on_goal_switch(model, data, tstate) if hasattr(
-        self.task, 'on_goal_switch') else tstate
+    data = self.task.on_goal_update(model, data, tstate)
 
     # Effectors.
     data, eff_state = self._apply_effectors(data, state.eff_state, action)

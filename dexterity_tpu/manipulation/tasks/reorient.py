@@ -144,6 +144,17 @@ class ReOrient(task_lib.GoalTask):
     _, d, _, _ = jax.lax.while_loop(cond, attempt, carry)
     return d
 
+  def on_goal_update(self, model, data, task_state):
+    """Points the translucent hint body at the goal orientation
+    (reference: reorient.py:187,198-199)."""
+    if model.nmocap == 0:
+      return data
+    hint_id = model.body_mocapid[
+        model.body_names.index('target_prop')]
+    quat = task_state.goal[:4].astype(data.mocap_quat.dtype)
+    return data.replace(
+        mocap_quat=data.mocap_quat.at[hint_id].set(quat))
+
   def observables(self, model, data, task_state, eff_state):
     obs = self._hand_obs.as_dict(model, data)
     obs.update(self._prop_obs.as_dict(model, data))

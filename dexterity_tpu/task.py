@@ -106,6 +106,11 @@ class Task:
     del model, data
     return jnp.asarray(False)
 
+  def on_goal_update(self, model, data, task_state):
+    """Hook after a goal is (re)sampled — e.g. move visual hint bodies."""
+    del model, task_state
+    return data
+
   # -- accessors -------------------------------------------------------------
 
   @property
