@@ -215,6 +215,7 @@ class OptionSpec:
   solver_iterations: int = 8
   ls_iterations: int = 8
   contact_top_k: int = 64
+  midphase_cap: int = 64
 
 
 @dataclasses.dataclass
@@ -543,6 +544,7 @@ class ModelSpec:
             solver_iterations=self.option.solver_iterations,
             ls_iterations=self.option.ls_iterations,
             contact_top_k=self.option.contact_top_k,
+            midphase_cap=self.option.midphase_cap,
         ),
         qpos0=jnp.asarray(qpos0),
         body_pos=fa(bodies, 'pos', 3), body_quat=fa(bodies, 'quat', 4),

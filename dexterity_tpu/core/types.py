@@ -91,6 +91,10 @@ class Option:
   ls_iterations: int = static_field(default=8)
   # Max contact points kept per step (top-K deepest candidates).
   contact_top_k: int = static_field(default=64)
+  # Midphase: per type-group, only the `midphase_cap` nearest candidate
+  # pairs (by bounding-sphere distance) run the expensive narrow-phase
+  # kernel each step. 0 = exhaustive (used by import-time pruning).
+  midphase_cap: int = static_field(default=64)
   # Disables the constraint solver entirely (mjDSBL_CONSTRAINT analogue;
   # used by smooth-dynamics conformance tests).
   disable_constraint: bool = static_field(default=False)
@@ -227,13 +231,14 @@ class Model:
 
 @pytree_dataclass
 class Contact:
-  """Static-shape batch of contact points (one per candidate pair slot).
+  """Static-shape batch of contact points.
 
-  The geom ids per slot are compile-time constants — see
-  physics.collision.primitives.point_geom_ids(model)."""
+  With the midphase (Option.midphase_cap > 0) the pair occupying each slot
+  is dynamic; `pair` carries the candidate-pair index per slot."""
   dist: jax.Array      # (npoint,) signed distance (penetration < 0)
   pos: jax.Array       # (npoint, 3) midpoint position
   frame: jax.Array     # (npoint, 3, 3) rows: normal, tangent1, tangent2
+  pair: jax.Array      # (npoint,) int32 candidate-pair index (-1 unused)
 
 
 @pytree_dataclass
@@ -322,6 +327,7 @@ def make_data(model: Model, dtype=None) -> Data:
           dist=jnp.full((npoint,), 1e10, dtype=dtype),
           pos=z(npoint, 3),
           frame=jnp.tile(jnp.eye(3, dtype=dtype), (npoint, 1, 1)),
+          pair=-jnp.ones((npoint,), jnp.int32),
       ),
   )
 
@@ -349,7 +355,17 @@ def max_points_per_pair(type1: int, type2: int) -> int:
 
 
 def num_contact_points(model: Model) -> int:
-  n = 0
+  """Total static contact slots: per type-group, min(n_pairs, midphase_cap)
+  pairs times the group's points-per-pair."""
+  groups = {}
   for g1, g2 in zip(model.pair_geom1, model.pair_geom2):
-    n += max_points_per_pair(model.geom_type[g1], model.geom_type[g2])
+    t1 = collision_type(model.geom_type[g1])
+    t2 = collision_type(model.geom_type[g2])
+    key = tuple(sorted((t1, t2)))
+    groups[key] = groups.get(key, 0) + 1
+  cap = model.opt.midphase_cap
+  n = 0
+  for (t1, t2), count in groups.items():
+    m = count if cap == 0 else min(count, cap)
+    n += m * max_points_per_pair(t1, t2)
   return max(n, 1)

@@ -33,6 +33,9 @@ def pair_distance_stats(model: T.Model, num_samples: int = 256,
   from dexterity_tpu.physics import kinematics
   from dexterity_tpu.physics.collision import narrowphase, primitives
 
+  # Exhaustive narrow phase (midphase disabled) for complete statistics.
+  model = model.replace(opt=model.opt.replace(midphase_cap=0))
+
   rng = np.random.RandomState(seed)
   lo = np.asarray(model.jnt_range)[:, 0].copy()
   hi = np.asarray(model.jnt_range)[:, 1].copy()
@@ -59,7 +62,10 @@ def pair_distance_stats(model: T.Model, num_samples: int = 256,
     d = jax.jit(jax.vmap(dists))(jnp.asarray(qpos_batch))
   d = np.asarray(d)                                # (samples, npoint)
 
-  pair_of_row = primitives.contact_row_table(model)
+  groups, _ = primitives._pair_groups(model)
+  pair_of_row = np.concatenate(
+      [np.repeat(np.asarray(grp['pair'], np.int32), grp['k'])
+       for grp in groups.values()])
   npair = model.npair
   pair_min = np.full(npair, np.inf)
   pair_d0 = np.full(npair, np.inf)

@@ -23,39 +23,58 @@ _EPS = 1e-10
 _EDGE_TOL = 1.05
 
 
-def _clip_halfplane(poly, count, sign, axis, bound):
-  """Clips polygon (8,2)/count by sign*poly[:,axis] <= bound."""
+def _overlap_polygon_candidates(poly, su, sv):
+  """Vertices of the intersection of convex quad `poly` (4,2) with the
+  rectangle |u|<=su, |v|<=sv — enumerated branch-free.
 
-  def dist(p):
-    return bound - sign * p[axis]
+  Every vertex of the overlap polygon is one of: a quad vertex inside the
+  rectangle, a rectangle corner inside the quad, or a quad-edge x
+  rect-edge intersection.  Returns (cands (24, 2), valid (24,)).
+  No sequential clipping loop: everything is a fixed-shape vectorized
+  computation (the Sutherland-Hodgman scatter loop was the narrow-phase
+  hot spot on TPU).
+  """
+  dtype = poly.dtype
+  # (1) Quad vertices inside the rectangle.
+  in_rect = (jnp.abs(poly[:, 0]) <= su + _EPS) & (
+      jnp.abs(poly[:, 1]) <= sv + _EPS)
 
-  out = jnp.zeros_like(poly)
-  out_count = jnp.asarray(0, jnp.int32)
+  # (2) Rectangle corners inside the quad (consistent cross-product sign).
+  corners = jnp.stack([
+      jnp.asarray([su, sv], dtype), jnp.asarray([su, -sv], dtype),
+      jnp.asarray([-su, -sv], dtype), jnp.asarray([-su, sv], dtype)])
+  edges = jnp.roll(poly, -1, axis=0) - poly                  # (4, 2)
+  rel = corners[:, None, :] - poly[None, :, :]               # (4c, 4e, 2)
+  cross = edges[None, :, 0] * rel[:, :, 1] - edges[None, :, 1] * rel[:, :, 0]
+  # Inside iff all cross products share one sign (quad is convex).
+  in_quad = jnp.all(cross >= -_EPS, axis=1) | jnp.all(cross <= _EPS, axis=1)
 
-  def body(i, carry):
-    out, out_count = carry
-    valid = i < count
-    cur = poly[i]
-    nxt = poly[jnp.where(i + 1 < count, i + 1, 0)]
-    d_cur = dist(cur)
-    d_nxt = dist(nxt)
-    in_cur = d_cur >= 0
-    in_nxt = d_nxt >= 0
-    # Emit current vertex when inside.
-    emit_cur = valid & in_cur
-    out = out.at[out_count].set(jnp.where(emit_cur, cur, out[out_count]))
-    out_count = out_count + emit_cur.astype(jnp.int32)
-    # Emit intersection when the edge crosses the plane.
-    crosses = valid & (in_cur != in_nxt)
-    tt = d_cur / jnp.where(
-        jnp.abs(d_cur - d_nxt) > _EPS, d_cur - d_nxt, _EPS)
-    inter = cur + tt * (nxt - cur)
-    out = out.at[out_count].set(jnp.where(crosses, inter, out[out_count]))
-    out_count = out_count + crosses.astype(jnp.int32)
-    return out, out_count
+  # (3) Quad-edge x rect-edge intersections (16 candidates).
+  # Rect edges: u=+su, u=-su (v free in [-sv, sv]); v=+sv, v=-sv.
+  a = poly                                                   # (4, 2) starts
+  b = jnp.roll(poly, -1, axis=0)                             # (4, 2) ends
+  d = b - a
 
-  out, out_count = jax.lax.fori_loop(0, 8, body, (out, out_count))
-  return out, out_count
+  def axis_hits(axis, bound, other_bound):
+    # Intersection of each quad edge with the line coord[axis] = bound.
+    denom = jnp.where(jnp.abs(d[:, axis]) > _EPS, d[:, axis], _EPS)
+    tt = (bound - a[:, axis]) / denom
+    pt = a + tt[:, None] * d
+    ok = ((tt >= -_EPS) & (tt <= 1 + _EPS)
+          & (jnp.abs(d[:, axis]) > _EPS)
+          & (jnp.abs(pt[:, 1 - axis]) <= other_bound + _EPS))
+    return pt, ok
+
+  pts_list = [poly, corners]
+  ok_list = [in_rect, in_quad]
+  for axis, bound, other in ((0, su, sv), (0, -su, sv),
+                             (1, sv, su), (1, -sv, su)):
+    pt, ok = axis_hits(axis, bound, other)
+    pts_list.append(pt)
+    ok_list.append(ok)
+  cands = jnp.concatenate(pts_list)                          # (24, 2)
+  valid = jnp.concatenate(ok_list)
+  return cands, valid
 
 
 def box_box(p1, m1, s1, p2, m2, s2):
@@ -151,18 +170,11 @@ def box_box(p1, m1, s1, p2, m2, s2):
   sv = s_ref[v_idx]
   rel = quad_world - p_ref
   poly = jnp.stack([rel @ u_world, rel @ v_world], axis=-1)  # (4, 2)
-  poly8 = jnp.zeros((8, 2), dtype).at[:4].set(poly)
-  count = jnp.asarray(4, jnp.int32)
-  for sign, axis, bound in ((1.0, 0, None), (-1.0, 0, None),
-                            (1.0, 1, None), (-1.0, 1, None)):
-    b = jnp.where(axis == 0, su, sv)
-    poly8, count = _clip_halfplane(poly8, count, sign, axis, b)
+  cands, valid = _overlap_polygon_candidates(poly, su, sv)   # (24, …)
 
-  # Depths: height of each clipped point along the (outward) normal.
-  heights = rel @ n_world                                   # quad heights
-  # Interpolate height for clipped points: reconstruct from plane of the
-  # incident face: height = h0 + grad . (uv - uv0) using the quad's plane.
-  # Solve the affine map from the first three quad verts.
+  # Depths: height along the outward normal, interpolated on the incident
+  # face plane: height = h0 + grad . (uv - uv0).
+  heights = rel @ n_world                                    # quad heights
   a_mat = jnp.stack([poly[1] - poly[0], poly[2] - poly[0]], axis=0)  # (2,2)
   h_vec = jnp.stack([heights[1] - heights[0], heights[2] - heights[0]])
   det = a_mat[0, 0] * a_mat[1, 1] - a_mat[0, 1] * a_mat[1, 0]
@@ -170,16 +182,26 @@ def box_box(p1, m1, s1, p2, m2, s2):
                      [-a_mat[1, 0], a_mat[0, 0]]], dtype) / jnp.where(
                          jnp.abs(det) > _EPS, det, _EPS)
   grad = inv @ h_vec                                         # d h / d uv
-  h_points = heights[0] + (poly8 - poly[0]) @ grad           # (8,)
+  h_points = heights[0] + (cands - poly[0]) @ grad           # (24,)
 
-  ref_face_h = jnp.dot(m_ref @ (n_ref_local * towards
-                                * s_ref[axis_idx]), n_world)
+  ref_face_h = s_ref[axis_idx]
   depth = h_points - ref_face_h                              # <0: penetrating
-  slot_ok = jnp.arange(8) < count
-  dist_face = jnp.where(slot_ok, depth, _BIG)
+  dist_cand = jnp.where(valid, depth, _BIG)
 
-  pts_world = (p_ref + poly8[:, :1] * u_world + poly8[:, 1:] * v_world
-               + (ref_face_h + 0.5 * depth)[:, None] * n_world)
+  # Keep the 8 deepest candidates; drop duplicates (a polygon vertex can
+  # appear both as a quad vertex and as an edge intersection).
+  neg, sel8 = jax.lax.top_k(-dist_cand, 8)
+  dist_face = -neg
+  pts2d = cands[sel8]                                        # (8, 2)
+  dup = jnp.zeros(8, bool)
+  for i in range(1, 8):
+    close = jnp.linalg.norm(pts2d[:i] - pts2d[i], axis=1) < 1e-7
+    dup = dup.at[i].set(jnp.any(close & (dist_face[:i] < _BIG * 0.5)))
+  dist_face = jnp.where(dup, _BIG, dist_face)
+
+  pts_world = (p_ref + pts2d[:, :1] * u_world + pts2d[:, 1:] * v_world
+               + (ref_face_h + 0.5 * dist_face.clip(max=0.0))[:, None]
+               * n_world)
   # Normal must point geom1 -> geom2.
   n_face_out = jnp.where(ref_is_1, n_world, -n_world)
   normal_face = jnp.broadcast_to(n_face_out, (8, 3))

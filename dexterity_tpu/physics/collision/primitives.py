@@ -199,9 +199,10 @@ _KERNELS = {
 
 
 def _pair_groups(model: Model):
-  """Groups candidate pairs by ordered type pair; returns static tables."""
+  """Groups candidate pairs by ordered type pair; returns static tables
+  with the midphase cap applied: each group occupies
+  min(n_pairs, cap) * k rows starting at 'row'."""
   groups: Dict[Tuple[int, int], Dict[str, List[int]]] = {}
-  row = 0
   from dexterity_tpu.core.types import collision_type
   for i in range(model.npair):
     g1, g2 = model.pair_geom1[i], model.pair_geom2[i]
@@ -210,70 +211,120 @@ def _pair_groups(model: Model):
     if t1 > t2:
       g1, g2 = g2, g1
       t1, t2 = t2, t1
-    npoints = max_points_per_pair(t1, t2)
     key = (GeomType(t1), GeomType(t2))
-    grp = groups.setdefault(key, {'pair': [], 'g1': [], 'g2': [], 'row': []})
+    grp = groups.setdefault(key, {'pair': [], 'g1': [], 'g2': []})
     grp['pair'].append(i)
     grp['g1'].append(g1)
     grp['g2'].append(g2)
-    grp['row'].append(row)
-    row += npoints
+  cap = model.opt.midphase_cap
+  row = 0
+  for key in groups:
+    grp = groups[key]
+    n = len(grp['pair'])
+    m = n if cap == 0 else min(n, cap)
+    _, k = _KERNELS[key]
+    grp['m'] = m
+    grp['k'] = k
+    grp['row'] = row
+    row += m * k
   return groups, row
 
 
+def pair_kernel_geoms(model: Model):
+  """Static per-pair geom ids in KERNEL order (type1 <= type2, possibly
+  swapped vs the pair tables). The contact normal points from the first to
+  the second of these."""
+  from dexterity_tpu.core.types import collision_type
+  g1_out = np.zeros(model.npair, np.int32)
+  g2_out = np.zeros(model.npair, np.int32)
+  for i in range(model.npair):
+    g1, g2 = model.pair_geom1[i], model.pair_geom2[i]
+    if (collision_type(model.geom_type[g1])
+        > collision_type(model.geom_type[g2])):
+      g1, g2 = g2, g1
+    g1_out[i] = g1
+    g2_out[i] = g2
+  return g1_out, g2_out
+
+
+def _bounding_radius(model: Model) -> np.ndarray:
+  """Static bounding-sphere radius per geom (planes get 0)."""
+  size = np.asarray(jax.device_get(model.geom_size))
+  out = np.zeros(model.ngeom)
+  for g in range(model.ngeom):
+    t = model.geom_type[g]
+    s = size[g]
+    if t == int(GeomType.SPHERE):
+      out[g] = s[0]
+    elif t in (int(GeomType.CAPSULE), int(GeomType.CYLINDER)):
+      out[g] = s[0] + s[1]
+    elif t == int(GeomType.BOX):
+      out[g] = float(np.linalg.norm(s))
+    elif t == int(GeomType.ELLIPSOID):
+      out[g] = float(np.max(s))
+  return out
+
+
 def collide_all(model: Model, data: Data) -> Data:
+  """Midphase (bounding-sphere top-M per type group) + narrow phase."""
   groups, total_rows = _pair_groups(model)
   dtype = data.qpos.dtype
+  radius = _bounding_radius(model)
 
-  dist = jnp.full((total_rows,), _BIG, dtype)
-  pos = jnp.zeros((total_rows, 3), dtype)
-  frame = jnp.tile(jnp.eye(3, dtype=dtype), (total_rows, 1, 1))
-
+  dists, poss, frames, pair_ids = [], [], [], []
   for (t1, t2), grp in groups.items():
     if (t1, t2) not in _KERNELS:
       raise NotImplementedError(f'no collision kernel for {t1} vs {t2}')
     fn, k = _KERNELS[(t1, t2)]
+    m = grp['m']
     g1 = np.asarray(grp['g1'], np.int32)
     g2 = np.asarray(grp['g2'], np.int32)
-    p1, m1, s1 = data.geom_xpos[g1], data.geom_xmat[g1], model.geom_size[g1]
-    p2, m2, s2 = data.geom_xpos[g2], data.geom_xmat[g2], model.geom_size[g2]
-    d, p, n = jax.vmap(fn)(p1, m1, s1, p2, m2, s2)   # (npair_g, k, …)
-    rows = np.concatenate(
-        [np.arange(r, r + k) for r in grp['row']]).astype(np.int32)
-    dist = dist.at[rows].set(d.reshape(-1))
-    pos = pos.at[rows].set(p.reshape(-1, 3))
-    frame = frame.at[rows].set(_tangent_frame(n.reshape(-1, 3)))
+    pair_np = np.asarray(grp['pair'], np.int32)
+    n = len(g1)
 
-  assert total_rows == num_contact_points(model) or model.npair == 0
-  contact = Contact(dist=dist, pos=pos, frame=frame)
+    if m < n:
+      # Cheap conservative pair distance (sphere-sphere; plane uses the
+      # true plane halfspace distance).
+      c1 = data.geom_xpos[g1]
+      c2 = data.geom_xpos[g2]
+      r2 = jnp.asarray(radius[g2], dtype)
+      if t1 == GeomType.PLANE:
+        normal = data.geom_xmat[g1][:, :, 2]
+        score = jnp.einsum('pi,pi->p', c2 - c1, normal) - r2
+      else:
+        r1 = jnp.asarray(radius[g1], dtype)
+        score = jnp.linalg.norm(c2 - c1, axis=1) - r1 - r2
+      _, sel = jax.lax.top_k(-score, m)
+      gg1 = jnp.asarray(g1)[sel]
+      gg2 = jnp.asarray(g2)[sel]
+      pid = jnp.asarray(pair_np)[sel]
+    else:
+      # Tie the constant ids to the data so sharding/varying types stay
+      # uniform across scan carries (no-op add outside shard_map).
+      vary_zero = (data.qpos[0] * 0).astype(jnp.int32)
+      gg1, gg2 = jnp.asarray(g1), jnp.asarray(g2)
+      pid = jnp.asarray(pair_np) + vary_zero
+
+    p1, m1, s1 = (data.geom_xpos[gg1], data.geom_xmat[gg1],
+                  model.geom_size[gg1])
+    p2, m2, s2 = (data.geom_xpos[gg2], data.geom_xmat[gg2],
+                  model.geom_size[gg2])
+    d, p, nrm = jax.vmap(fn)(p1, m1, s1, p2, m2, s2)   # (m, k, …)
+    dists.append(d.reshape(-1))
+    poss.append(p.reshape(-1, 3))
+    frames.append(_tangent_frame(nrm.reshape(-1, 3)))
+    pair_ids.append(jnp.repeat(pid, k))
+
+  if not dists:
+    contact = Contact(dist=jnp.full((1,), _BIG, dtype),
+                      pos=jnp.zeros((1, 3), dtype),
+                      frame=jnp.eye(3, dtype=dtype)[None],
+                      pair=-jnp.ones((1,), jnp.int32))
+    return data.replace(contact=contact)
+
+  contact = Contact(dist=jnp.concatenate(dists),
+                    pos=jnp.concatenate(poss),
+                    frame=jnp.concatenate(frames),
+                    pair=jnp.concatenate(pair_ids).astype(jnp.int32))
+  assert contact.dist.shape[0] == total_rows == num_contact_points(model)
   return data.replace(contact=contact)
-
-
-def point_geom_ids(model: Model):
-  """Static (geom1, geom2) int arrays per contact-point slot (the kernels'
-  canonical ordering: geom1.type <= geom2.type)."""
-  groups, total_rows = _pair_groups(model)
-  geom1 = np.full(total_rows, -1, np.int32)
-  geom2 = np.full(total_rows, -1, np.int32)
-  for (t1, t2), grp in groups.items():
-    _, k = _KERNELS[(t1, t2)]
-    for gi in range(len(grp['g1'])):
-      r = grp['row'][gi]
-      geom1[r:r + k] = grp['g1'][gi]
-      geom2[r:r + k] = grp['g2'][gi]
-  return geom1, geom2
-
-
-def contact_row_table(model: Model):
-  """Static per-contact-row tables: pair index per row.
-
-  Used by the constraint module to attach pair parameters to rows.
-  """
-  groups, total_rows = _pair_groups(model)
-  pair_of_row = np.zeros(total_rows, np.int32)
-  for (t1, t2), grp in groups.items():
-    _, k = _KERNELS[(t1, t2)]
-    for gi, pair_idx in enumerate(grp['pair']):
-      r = grp['row'][gi]
-      pair_of_row[r:r + k] = pair_idx
-  return pair_of_row

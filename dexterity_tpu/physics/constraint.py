@@ -280,29 +280,30 @@ def _contact_rows(model: Model, data: Data, dtype):
   maximum condim for static shape; rows beyond a point's condim get zero
   impedance.
   """
-  from dexterity_tpu.physics.collision import primitives
+  from dexterity_tpu.core.types import num_contact_points
   if model.npair == 0:
     z = jnp.zeros((0,), dtype)
     return jnp.zeros((0, model.nv), dtype), z, z, z
 
   h = model.opt.timestep
-  pair_of_row = primitives.contact_row_table(model)     # (npoint,) static
-  npoint = len(pair_of_row)
+  npoint = num_contact_points(model)
   k_sel = min(model.opt.contact_top_k, npoint)
   max_condim = max(model.pair_condim) if model.npair else 1
 
-  pair_margin = model.pair_margin[pair_of_row]          # (npoint,)
+  pair_of_slot = jnp.maximum(data.contact.pair, 0)      # (npoint,) dynamic
+  pair_margin = model.pair_margin[pair_of_slot]
   score = data.contact.dist - pair_margin
   neg_score, sel = jax.lax.top_k(-score, k_sel)         # deepest first
   del neg_score
 
-  pair_sel = jnp.asarray(pair_of_row)[sel]
+  pair_sel = pair_of_slot[sel]
   dist = data.contact.dist[sel]
   pos = data.contact.pos[sel]
   frame = data.contact.frame[sel]                       # (k, 3, 3)
-  pg1, pg2 = primitives.point_geom_ids(model)           # static per slot
-  geom1 = jnp.asarray(pg1)[sel]
-  geom2 = jnp.asarray(pg2)[sel]
+  from dexterity_tpu.physics.collision import primitives
+  pg1, pg2 = primitives.pair_kernel_geoms(model)  # kernel (normal) order
+  geom1 = jnp.asarray(pg1)[pair_sel]
+  geom2 = jnp.asarray(pg2)[pair_sel]
   margin = model.pair_margin[pair_sel]
   solref = model.pair_solref[pair_sel]
   solimp = model.pair_solimp[pair_sel]
