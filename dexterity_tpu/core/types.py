@@ -344,7 +344,7 @@ def max_points_per_pair(type1: int, type2: int) -> int:
   box = int(GeomType.BOX)
   plane = int(GeomType.PLANE)
   if (t1, t2) == (plane, box):
-    return 4
+    return 8  # all corners (sort-free kernel)
   if (t1, t2) == (box, box):
     return 8
   if t2 == box:  # sphere/capsule/etc vs box

@@ -62,17 +62,14 @@ def _plane_capsule(p1, m1, s1, p2, m2, s2):
 
 def _plane_box(p1, m1, s1, p2, m2, s2):
   n = m1[:, 2]
-  # 4 deepest corners of the box along -n.
+  # All 8 corners as candidates (sort-free; non-penetrating slots inactive).
   corners = jnp.asarray(np.array(
       [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
       dtype=np.float64))
   pts = p2 + (corners * s2) @ m2.T                       # (8, 3)
   d = pts @ n - jnp.dot(p1, n)
-  order = jnp.argsort(d)
-  idx = order[:4]
-  dd = d[idx]
-  pos = pts[idx] - n * (0.5 * dd)[:, None]
-  return dd, pos, jnp.broadcast_to(n, (4, 3))
+  pos = pts - n * (0.5 * d)[:, None]
+  return d, pos, jnp.broadcast_to(n, (8, 3))
 
 
 def _sphere_sphere(p1, m1, s1, p2, m2, s2):
@@ -188,7 +185,7 @@ def _box_box(p1, m1, s1, p2, m2, s2):
 _KERNELS = {
     (GeomType.PLANE, GeomType.SPHERE): (_plane_sphere, 1),
     (GeomType.PLANE, GeomType.CAPSULE): (_plane_capsule, 2),
-    (GeomType.PLANE, GeomType.BOX): (_plane_box, 4),
+    (GeomType.PLANE, GeomType.BOX): (_plane_box, 8),
     (GeomType.SPHERE, GeomType.SPHERE): (_sphere_sphere, 1),
     (GeomType.SPHERE, GeomType.CAPSULE): (_sphere_capsule, 1),
     (GeomType.SPHERE, GeomType.BOX): (_sphere_box, 1),
@@ -305,15 +302,21 @@ def collide_all(model: Model, data: Data) -> Data:
       gg1, gg2 = jnp.asarray(g1), jnp.asarray(g2)
       pid = jnp.asarray(pair_np) + vary_zero
 
-    p1, m1, s1 = (data.geom_xpos[gg1], data.geom_xmat[gg1],
-                  model.geom_size[gg1])
-    p2, m2, s2 = (data.geom_xpos[gg2], data.geom_xmat[gg2],
-                  model.geom_size[gg2])
-    d, p, nrm = jax.vmap(fn)(p1, m1, s1, p2, m2, s2)   # (m, k, …)
+    # SoA kernels: component-plane math over the pair axis (soa.py).
+    from dexterity_tpu.physics.collision import soa
+    sfn, sk = soa.KERNELS[(t1, t2)]
+    assert sk == k
+    p1 = soa.vec3(data.geom_xpos[gg1])
+    m1_ = soa.mat3(data.geom_xmat[gg1])
+    s1 = soa.vec3(model.geom_size[gg1])
+    p2 = soa.vec3(data.geom_xpos[gg2])
+    m2_ = soa.mat3(data.geom_xmat[gg2])
+    s2 = soa.vec3(model.geom_size[gg2])
+    d, p, nrm = sfn(p1, m1_, s1, p2, m2_, s2)          # (k, m) planes
     dists.append(d.reshape(-1))
-    poss.append(p.reshape(-1, 3))
-    frames.append(_tangent_frame(nrm.reshape(-1, 3)))
-    pair_ids.append(jnp.repeat(pid, k))
+    poss.append(soa.stack_v3(p).reshape(-1, 3))
+    frames.append(_tangent_frame(soa.stack_v3(nrm).reshape(-1, 3)))
+    pair_ids.append(jnp.tile(pid, k))
 
   if not dists:
     contact = Contact(dist=jnp.full((1,), _BIG, dtype),
