@@ -480,7 +480,13 @@ def solve(model: Model, data: Data, qfrc_smooth: jax.Array) -> Data:
     a_new = jnp.where(improved, a + alphas[best] * delta, a)
     return a_new, ()
 
-  a, _ = jax.lax.scan(newton_step, a0, (), length=model.opt.solver_iterations)
+  # Warm start from the previous step's qacc when it is better than the
+  # smooth acceleration (MuJoCo warmstart semantics) — cuts the Newton
+  # iterations needed for convergence on persistent contacts.  Note: the
+  # objective's reference point stays a0 = qacc_smooth.
+  a_init = jnp.where(cost(data.qacc) < cost(a0), data.qacc, a0)
+  a, _ = jax.lax.scan(newton_step, a_init, (),
+                      length=model.opt.solver_iterations)
 
   x = rows.J @ a - rows.aref
   f, _ = force_and_weight(x)

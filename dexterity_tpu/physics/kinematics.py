@@ -42,8 +42,150 @@ def fwd_position(model: Model, data: Data) -> Data:
   from dexterity_tpu.physics import tree
   tables = tree.tree_tables(model)
   if tables.single_jointed:
-    return _fwd_position_levels(model, data, tables)
+    return _fwd_position_jump(model, data, tables)
   return _fwd_position_unrolled(model, data)
+
+
+def _joint_class_tables(model: Model):
+  """Static per-class joint/body index tables for vectorized FK."""
+  out = {}
+  for jtype in (JointType.HINGE, JointType.SLIDE, JointType.BALL,
+                JointType.FREE):
+    jids = [ji for ji in range(model.njnt)
+            if model.jnt_type[ji] == int(jtype)]
+    out[jtype] = dict(
+        jids=np.asarray(jids, np.int32),
+        body=np.asarray([model.jnt_bodyid[j] for j in jids], np.int32),
+        qadr=np.asarray([model.jnt_qposadr[j] for j in jids], np.int32),
+        dadr=np.asarray([model.jnt_dofadr[j] for j in jids], np.int32))
+  mocap_body = np.asarray(
+      [b for b in range(model.nbody) if model.body_mocapid[b] >= 0],
+      np.int32)
+  mocap_id = np.asarray(
+      [model.body_mocapid[b] for b in mocap_body], np.int32)
+  out['mocap'] = (mocap_body, mocap_id)
+  return out
+
+
+def _fwd_position_jump(model: Model, data: Data, tables) -> Data:
+  """FK via vectorized local poses + pointer-jumping path composition.
+
+  One elementwise pass builds every body's pose in its parent frame; then
+  ceil(log2(depth)) gather+compose rounds produce world poses; cdof rows
+  follow from the final poses in one vectorized pass per joint class
+  (the hinge axis and anchor are invariant under the joint's own motion).
+  """
+  from dexterity_tpu.physics import tree
+  qpos = data.qpos
+  dtype = qpos.dtype
+  nbody = model.nbody
+  cls = _joint_class_tables(model)
+
+  # Local pose per body (parent frame).
+  lpos = model.body_pos.astype(dtype)
+  lquat = model.body_quat.astype(dtype)
+
+  t = cls[JointType.HINGE]
+  if len(t['jids']):
+    q = qpos[t['qadr']]
+    axis = model.jnt_axis[t['jids']]
+    jpos = model.jnt_pos[t['jids']]
+    dq = tmath.axis_angle_to_quat(axis, q)
+    pos_l = jpos - tmath.quat_rotate(dq, jpos)
+    b = t['body']
+    lpos = lpos.at[b].add(tmath.quat_rotate(lquat[b], pos_l))
+    lquat = lquat.at[b].set(tmath.quat_mul(lquat[b], dq))
+
+  t = cls[JointType.SLIDE]
+  if len(t['jids']):
+    q = qpos[t['qadr']]
+    axis = model.jnt_axis[t['jids']]
+    b = t['body']
+    lpos = lpos.at[b].add(tmath.quat_rotate(lquat[b], axis * q[:, None]))
+
+  t = cls[JointType.BALL]
+  if len(t['jids']):
+    qadr = t['qadr']
+    dq = tmath.quat_normalize(
+        jnp.stack([qpos[qadr + i] for i in range(4)], axis=-1))
+    jpos = model.jnt_pos[t['jids']]
+    pos_l = jpos - tmath.quat_rotate(dq, jpos)
+    b = t['body']
+    lpos = lpos.at[b].add(tmath.quat_rotate(lquat[b], pos_l))
+    lquat = lquat.at[b].set(tmath.quat_mul(lquat[b], dq))
+
+  t = cls[JointType.FREE]
+  if len(t['jids']):
+    qadr = t['qadr']
+    b = t['body']
+    pn = jnp.stack([qpos[qadr + i] for i in range(3)], axis=-1)
+    qn = tmath.quat_normalize(
+        jnp.stack([qpos[qadr + 3 + i] for i in range(4)], axis=-1))
+    lpos = lpos.at[b].set(pn)   # free bodies are world-attached
+    lquat = lquat.at[b].set(qn)
+
+  mocap_body, mocap_id = cls['mocap']
+  if len(mocap_body):
+    lpos = lpos.at[mocap_body].set(data.mocap_pos[mocap_id].astype(dtype))
+    lquat = lquat.at[mocap_body].set(
+        data.mocap_quat[mocap_id].astype(dtype))
+
+  # World row stays identity.
+  lpos = lpos.at[0].set(0.0)
+  lquat = lquat.at[0].set(jnp.asarray([1.0, 0, 0, 0], dtype))
+
+  # Pointer jumping.
+  for table in tree.jump_tables(model.body_parentid):
+    anc = np.asarray(table, np.int32)
+    lpos, lquat = (lpos[anc] + tmath.quat_rotate(lquat[anc], lpos),
+                   tmath.quat_mul(lquat[anc], lquat))
+
+  xpos, xquat = lpos, lquat
+
+  # cdof from final poses, per joint class.
+  cdof = jnp.zeros((model.nv, 6), dtype)
+
+  t = cls[JointType.HINGE]
+  if len(t['jids']):
+    b = t['body']
+    axis_w = tmath.quat_rotate(xquat[b], model.jnt_axis[t['jids']])
+    anchor = xpos[b] + tmath.quat_rotate(xquat[b], model.jnt_pos[t['jids']])
+    rows = jnp.concatenate([axis_w, jnp.cross(axis_w, -anchor)], axis=-1)
+    cdof = cdof.at[t['dadr']].set(rows)
+
+  t = cls[JointType.SLIDE]
+  if len(t['jids']):
+    b = t['body']
+    axis_w = tmath.quat_rotate(xquat[b], model.jnt_axis[t['jids']])
+    cdof = cdof.at[t['dadr']].set(
+        jnp.concatenate([jnp.zeros_like(axis_w), axis_w], axis=-1))
+
+  t = cls[JointType.BALL]
+  if len(t['jids']):
+    b = t['body']
+    anchor = xpos[b] + tmath.quat_rotate(xquat[b], model.jnt_pos[t['jids']])
+    axes_w = jnp.swapaxes(tmath.quat_to_mat(xquat[b]), -1, -2)
+    lin = jnp.cross(axes_w, -anchor[:, None, :])
+    rows = jnp.concatenate([axes_w, lin], axis=-1)
+    dof_rows = (t['dadr'][:, None] + np.arange(3)[None]).reshape(-1)
+    cdof = cdof.at[dof_rows].set(rows.reshape(-1, 6))
+
+  t = cls[JointType.FREE]
+  if len(t['jids']):
+    b = t['body']
+    k = len(b)
+    eye = jnp.eye(3, dtype=dtype)
+    trans_rows = jnp.concatenate(
+        [jnp.zeros((k, 3, 3), dtype),
+         jnp.broadcast_to(eye, (k, 3, 3))], axis=-1)
+    axes_w = jnp.swapaxes(tmath.quat_to_mat(xquat[b]), -1, -2)
+    lin = jnp.cross(axes_w, -xpos[b][:, None, :])
+    rot_rows = jnp.concatenate([axes_w, lin], axis=-1)
+    rows = jnp.concatenate([trans_rows, rot_rows], axis=1)
+    dof_rows = (t['dadr'][:, None] + np.arange(6)[None]).reshape(-1)
+    cdof = cdof.at[dof_rows].set(rows.reshape(-1, 6))
+
+  return _fwd_position_finish(model, data, xpos, xquat, cdof)
 
 
 def _fwd_position_levels(model: Model, data: Data, tables) -> Data:

@@ -108,7 +108,7 @@ def rne(model: Model, data: Data) -> Data:
   iw = tmath.inertia_world(model.body_mass, model.body_inertia, data.ximat)
 
   if tables.single_jointed:
-    cvel, cacc = _vel_acc_levels(model, data, tables, dtype)
+    cvel, cacc = _vel_acc_matmul(model, data, dtype)
   else:
     cvel, cacc = _vel_acc_unrolled(model, data, dtype)
 
@@ -122,6 +122,42 @@ def rne(model: Model, data: Data) -> Data:
   mask = jnp.asarray(kinematics.ancestor_mask(model), dtype=dtype)
   qfrc_bias = (data.cdof * (mask.T @ forces)).sum(axis=1)
   return data.replace(qfrc_bias=qfrc_bias, cvel=cvel)
+
+
+def _vel_acc_matmul(model: Model, data: Data, dtype):
+  """Velocity and bias acceleration as two ancestor-mask contractions.
+
+  cvel[b] = Σ_{dofs i on the path to b} cdof_i qvel_i is a tree prefix sum
+  — one matmul with the static ancestor mask.  The bias-acceleration
+  per-dof term τ_i = (v ×ₘ cdof_i) qvel_i needs only a per-dof reference
+  velocity v computable from cvel (the child body's full velocity for
+  rotational/scalar dofs — self-terms cancel in the weighted sum — and the
+  parent's for free-joint translations, which is zero for world-attached
+  free bodies), so cacc is a second matmul over τ.  Replaces the
+  depth-many level sweeps with two contractions + elementwise work.
+  """
+  mask = jnp.asarray(kinematics.ancestor_mask(model), dtype=dtype)  # (nb,nv)
+  weighted = data.cdof * data.qvel[:, None]                # (nv, 6)
+  cvel = mask @ weighted                                   # (nbody, 6)
+
+  # Per-dof reference velocity.
+  dof_body = np.asarray(model.dof_bodyid, np.int32)
+  ref_vel = cvel[dof_body]                                 # (nv, 6)
+  # Free-joint translational dofs use the parent (world) velocity = 0.
+  trans_free = np.zeros(model.nv, bool)
+  for ji in range(model.njnt):
+    if model.jnt_type[ji] == int(JointType.FREE):
+      d = model.jnt_dofadr[ji]
+      trans_free[d:d + 3] = True
+  if trans_free.any():
+    ref_vel = jnp.where(jnp.asarray(trans_free)[:, None], 0.0, ref_vel)
+
+  tau = _motion_cross(ref_vel, data.cdof) * data.qvel[:, None]  # (nv, 6)
+  grav_base = jnp.concatenate([jnp.zeros(3, dtype),
+                               -model.opt.gravity.astype(dtype)])
+  cacc = grav_base[None, :] + mask @ tau
+  # World row: gravity base only (mask row 0 is zero anyway).
+  return cvel, cacc
 
 
 def _vel_acc_levels(model: Model, data: Data, tables, dtype):

@@ -106,3 +106,20 @@ def tree_tables(model: Model) -> TreeTables:
   return _build(model.body_parentid, model.body_jntadr, model.body_jntnum,
                 model.body_mocapid, model.jnt_type, model.jnt_qposadr,
                 model.jnt_dofadr)
+
+
+@functools.lru_cache(maxsize=64)
+def jump_tables(body_parentid) -> Tuple[Tuple[int, ...], ...]:
+  """Pointer-doubling ancestor tables: round k maps each body to its
+  ancestor at distance 2^k (clamped at world).  len = ceil(log2(depth))."""
+  parent = np.asarray(body_parentid, np.int32)
+  tables = [tuple(int(x) for x in parent)]
+  cur = parent
+  while (cur != 0).any() and len(tables) < 32:
+    cur = cur[cur]                      # parent^(2^k)
+    tables.append(tuple(int(x) for x in cur))
+  # The last table is all-world; rounds before it suffice, but applying the
+  # extra all-world round is a harmless identity compose — drop it.
+  while len(tables) > 1 and not any(tables[-1]):
+    tables.pop()
+  return tuple(tables)
