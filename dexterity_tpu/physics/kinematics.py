@@ -188,95 +188,6 @@ def _fwd_position_jump(model: Model, data: Data, tables) -> Data:
   return _fwd_position_finish(model, data, xpos, xquat, cdof)
 
 
-def _fwd_position_levels(model: Model, data: Data, tables) -> Data:
-  """Vectorized FK: one gather/compute/scatter round per tree depth."""
-  qpos = data.qpos
-  dtype = qpos.dtype
-  nbody, nv = model.nbody, model.nv
-
-  xpos = jnp.zeros((nbody, 3), dtype)
-  xquat = jnp.zeros((nbody, 4), dtype).at[:, 0].set(1.0)
-  cdof = jnp.zeros((nv, 6), dtype)
-
-  for level in tables.levels:
-    ids = level.ids
-    ppos = xpos[level.parent]
-    pquat = xquat[level.parent]
-    pos = ppos + tmath.quat_rotate(pquat, model.body_pos[ids])
-    quat = tmath.quat_mul(pquat, model.body_quat[ids])
-
-    sel, jids, qadr, dadr = level.hinge
-    if len(sel):
-      q = qpos[qadr]
-      axis_l = model.jnt_axis[jids]
-      jpos = model.jnt_pos[jids]
-      p0, q0 = pos[sel], quat[sel]
-      axis_w = tmath.quat_rotate(q0, axis_l)
-      anchor = p0 + tmath.quat_rotate(q0, jpos)
-      dq = tmath.axis_angle_to_quat(axis_l, q)
-      qn = tmath.quat_mul(q0, dq)
-      pn = anchor - tmath.quat_rotate(qn, jpos)
-      pos = pos.at[sel].set(pn)
-      quat = quat.at[sel].set(qn)
-      rows = jnp.concatenate(
-          [axis_w, jnp.cross(axis_w, -anchor)], axis=-1)
-      cdof = cdof.at[dadr].set(rows)
-
-    sel, jids, qadr, dadr = level.slide
-    if len(sel):
-      q = qpos[qadr]
-      axis_w = tmath.quat_rotate(quat[sel], model.jnt_axis[jids])
-      pos = pos.at[sel].set(pos[sel] + axis_w * q[:, None])
-      rows = jnp.concatenate([jnp.zeros_like(axis_w), axis_w], axis=-1)
-      cdof = cdof.at[dadr].set(rows)
-
-    sel, jids, qadr, dadr = level.ball
-    if len(sel):
-      qj = tmath.quat_normalize(
-          jnp.stack([qpos[qadr + i] for i in range(4)], axis=-1))
-      jpos = model.jnt_pos[jids]
-      p0, q0 = pos[sel], quat[sel]
-      anchor = p0 + tmath.quat_rotate(q0, jpos)
-      qn = tmath.quat_mul(q0, qj)
-      pn = anchor - tmath.quat_rotate(qn, jpos)
-      pos = pos.at[sel].set(pn)
-      quat = quat.at[sel].set(qn)
-      axes_w = jnp.swapaxes(tmath.quat_to_mat(qn), -1, -2)  # rows = R e_i
-      lin = jnp.cross(axes_w, -anchor[:, None, :])
-      rows = jnp.concatenate([axes_w, lin], axis=-1)       # (k, 3, 6)
-      dof_rows = (dadr[:, None] + np.arange(3)[None]).reshape(-1)
-      cdof = cdof.at[dof_rows].set(rows.reshape(-1, 6))
-
-    sel, jids, qadr, dadr = level.free
-    if len(sel):
-      pn = jnp.stack([qpos[qadr + i] for i in range(3)], axis=-1)
-      qn = tmath.quat_normalize(
-          jnp.stack([qpos[qadr + 3 + i] for i in range(4)], axis=-1))
-      pos = pos.at[sel].set(pn)
-      quat = quat.at[sel].set(qn)
-      k = len(sel)
-      eye = jnp.eye(3, dtype=dtype)
-      trans_rows = jnp.concatenate(
-          [jnp.zeros((k, 3, 3), dtype),
-           jnp.broadcast_to(eye, (k, 3, 3))], axis=-1)
-      axes_w = jnp.swapaxes(tmath.quat_to_mat(qn), -1, -2)  # rows = R e_i
-      lin = jnp.cross(axes_w, -pn[:, None, :])
-      rot_rows = jnp.concatenate([axes_w, lin], axis=-1)
-      rows = jnp.concatenate([trans_rows, rot_rows], axis=1)  # (k, 6, 6)
-      dof_rows = (dadr[:, None] + np.arange(6)[None]).reshape(-1)
-      cdof = cdof.at[dof_rows].set(rows.reshape(-1, 6))
-
-    msel, mids = level.mocap
-    if len(msel):
-      pos = pos.at[msel].set(data.mocap_pos[mids])
-      quat = quat.at[msel].set(data.mocap_quat[mids])
-
-    xpos = xpos.at[ids].set(pos)
-    xquat = xquat.at[ids].set(quat)
-
-  return _fwd_position_finish(model, data, xpos, xquat, cdof)
-
-
 def _fwd_position_finish(model: Model, data: Data, xpos, xquat, cdof):
   """Shared tail: inertial/site/geom frames + tendon lengths."""
   qpos = data.qpos

@@ -160,58 +160,6 @@ def _vel_acc_matmul(model: Model, data: Data, dtype):
   return cvel, cacc
 
 
-def _vel_acc_levels(model: Model, data: Data, tables, dtype):
-  """Level-wise forward velocity/bias-acceleration sweep."""
-  nbody = model.nbody
-  grav_base = jnp.concatenate([jnp.zeros(3, dtype),
-                               -model.opt.gravity.astype(dtype)])
-  cvel = jnp.zeros((nbody, 6), dtype)
-  cacc = jnp.zeros((nbody, 6), dtype).at[0].set(grav_base)
-  qvel = data.qvel
-  cdof = data.cdof
-
-  for level in tables.levels:
-    vel = cvel[level.parent]
-    acc = cacc[level.parent]
-
-    for sub in (level.hinge, level.slide):
-      sel, _, _, dadr = sub
-      if len(sel):
-        cd = cdof[dadr]
-        qd = qvel[dadr][:, None]
-        acc = acc.at[sel].add(_motion_cross(vel[sel], cd) * qd)
-        vel = vel.at[sel].add(cd * qd)
-
-    sel, _, _, dadr = level.ball
-    if len(sel):
-      rows = dadr[:, None] + np.arange(3)[None]           # (k, 3)
-      cd = cdof[rows]                                     # (k, 3, 6)
-      qd = qvel[rows][..., None]                          # (k, 3, 1)
-      contrib = (cd * qd).sum(axis=1)
-      vel_full = vel[sel] + contrib
-      acc_add = (_motion_cross(vel_full[:, None, :], cd) * qd).sum(axis=1)
-      acc = acc.at[sel].add(acc_add)
-      vel = vel.at[sel].set(vel_full)
-
-    sel, _, _, dadr = level.free
-    if len(sel):
-      rows = dadr[:, None] + np.arange(6)[None]           # (k, 6)
-      cd = cdof[rows]                                     # (k, 6, 6)
-      qd = qvel[rows][..., None]
-      contrib = (cd * qd).sum(axis=1)
-      vel_full = vel[sel] + contrib
-      cd_rot = cd[:, 3:]
-      qd_rot = qd[:, 3:]
-      acc_add = (_motion_cross(vel_full[:, None, :], cd_rot)
-                 * qd_rot).sum(axis=1)
-      acc = acc.at[sel].add(acc_add)
-      vel = vel.at[sel].set(vel_full)
-
-    cvel = cvel.at[level.ids].set(vel)
-    cacc = cacc.at[level.ids].set(acc)
-  return cvel, cacc
-
-
 def _vel_acc_unrolled(model: Model, data: Data, dtype):
   """General body-at-a-time sweep (multi-joint bodies)."""
   cacc = [jnp.concatenate([jnp.zeros(3, dtype),
