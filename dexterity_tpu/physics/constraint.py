@@ -413,14 +413,17 @@ def _eq_rows_blocks(model: Model, data: Data, dtype):
 
 
 def solve(model: Model, data: Data, qfrc_smooth: jax.Array) -> Data:
+  def smooth_only():
+    qacc = jax.scipy.linalg.solve(data.qM, qfrc_smooth, assume_a='pos')
+    return data.replace(qfrc_constraint=jnp.zeros_like(qfrc_smooth),
+                        qacc_smooth=qacc, qacc=qacc)
+
   if model.opt.disable_constraint:
-    return data.replace(qfrc_constraint=jnp.zeros_like(data.qacc_smooth),
-                        qacc=data.qacc_smooth)
+    return smooth_only()
   rows = assemble(model, data)
   nrow = rows.J.shape[0]
   if nrow == 0:
-    return data.replace(qfrc_constraint=jnp.zeros_like(data.qacc_smooth),
-                        qacc=data.qacc_smooth)
+    return smooth_only()
 
   dtype = data.qpos.dtype
   d_clamped = jnp.clip(rows.d, 0.0, 1.0 - 1e-6)
@@ -433,7 +436,6 @@ def solve(model: Model, data: Data, qfrc_smooth: jax.Array) -> Data:
   is_fl = jnp.asarray(rows.kind == _FRICTIONLOSS)
   is_unilateral = jnp.asarray(rows.kind == _UNILATERAL)
 
-  a0 = data.qacc_smooth
   m = data.qM
 
   def force_and_weight(x):
@@ -452,6 +454,9 @@ def solve(model: Model, data: Data, qfrc_smooth: jax.Array) -> Data:
     return f, w
 
   def cost(a):
+    """Primal objective up to a constant: the Gauss term
+    0.5 (a - a0)^T M (a - a0) is expanded as 0.5 a^T M a - a . qfrc_smooth
+    so qacc_smooth (an M-solve) never needs to be computed."""
     x = rows.J @ a - rows.aref
     quad = 0.5 * big_d * x * x
     c_fl_lin = rows.fl * jnp.abs(x) - 0.5 * rows.fl * rows.fl / jnp.maximum(
@@ -460,13 +465,12 @@ def solve(model: Model, data: Data, qfrc_smooth: jax.Array) -> Data:
     c_uni = jnp.where(x < 0, quad, 0.0)
     c_rows = jnp.where(is_bilateral, quad,
                        jnp.where(is_fl, c_fl, c_uni))
-    da = a - a0
-    return 0.5 * da @ (m @ da) + jnp.sum(c_rows)
+    return 0.5 * a @ (m @ a) - a @ qfrc_smooth + jnp.sum(c_rows)
 
   def newton_step(a, _):
     x = rows.J @ a - rows.aref
     f, w = force_and_weight(x)
-    grad = m @ (a - a0) - rows.J.T @ f
+    grad = m @ a - qfrc_smooth - rows.J.T @ f
     hess = m + (rows.J.T * w) @ rows.J
     chol = jax.scipy.linalg.cho_factor(
         hess + 1e-10 * jnp.eye(model.nv, dtype=dtype))
@@ -480,11 +484,10 @@ def solve(model: Model, data: Data, qfrc_smooth: jax.Array) -> Data:
     a_new = jnp.where(improved, a + alphas[best] * delta, a)
     return a_new, ()
 
-  # Warm start from the previous step's qacc when it is better than the
-  # smooth acceleration (MuJoCo warmstart semantics) — cuts the Newton
-  # iterations needed for convergence on persistent contacts.  Note: the
-  # objective's reference point stays a0 = qacc_smooth.
-  a_init = jnp.where(cost(data.qacc) < cost(a0), data.qacc, a0)
+  # Warm start from the previous step's qacc (MuJoCo warmstart semantics);
+  # zero is the safe alternative at episode starts.
+  zero = jnp.zeros_like(data.qacc)
+  a_init = jnp.where(cost(data.qacc) < cost(zero), data.qacc, zero)
   a, _ = jax.lax.scan(newton_step, a_init, (),
                       length=model.opt.solver_iterations)
 

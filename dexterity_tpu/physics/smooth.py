@@ -54,14 +54,14 @@ def crb(model: Model, data: Data) -> Data:
   m_lin = jnp.einsum('b,biv,biw->vw', model.body_mass, jlin, jlin)
   qm = m_ang + m_lin
   qm_arm = qm + jnp.diag(model.dof_armature)
-  qld = jax.scipy.linalg.cholesky(qm_arm, lower=True)
-  return data.replace(qM=qm_arm, qLD=qld)
+  # Note: no eager factorization — the constraint solver factorizes its own
+  # regularized Hessian and the smooth-only path solves lazily.
+  return data.replace(qM=qm_arm)
 
 
 def solve_m(data: Data, vec: jax.Array) -> jax.Array:
-  """Solves M x = vec using the cached Cholesky factor."""
-  y = jax.scipy.linalg.solve_triangular(data.qLD, vec, lower=True)
-  return jax.scipy.linalg.solve_triangular(data.qLD.T, y, lower=False)
+  """Solves M x = vec."""
+  return jax.scipy.linalg.solve(data.qM, vec, assume_a='pos')
 
 
 # ---------------------------------------------------------------------------

@@ -36,8 +36,8 @@ def fwd_velocity(model: Model, data: Data) -> Data:
 def fwd_acceleration(model: Model, data: Data) -> Data:
   qfrc_smooth = (data.qfrc_passive + data.qfrc_actuator + data.qfrc_applied
                  + smooth.xfrc_accumulate(model, data) - data.qfrc_bias)
-  qacc_smooth = smooth.solve_m(data, qfrc_smooth)
-  data = data.replace(qacc_smooth=qacc_smooth)
+  # qacc_smooth (an M-solve) is not needed on the hot path: the constraint
+  # solver's objective uses qfrc_smooth directly.
   data = constraint_mod.solve(model, data, qfrc_smooth)
   return data
 

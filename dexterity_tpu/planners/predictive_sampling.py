@@ -30,9 +30,11 @@ class PredictiveSamplingConfig:
   horizon: int = 10            # control steps to look ahead
   num_samples: int = 512       # candidate action sequences per solve
   noise_scale: float = 0.2     # exploration std, in units of ctrl range
-  # Physics fidelity for planning rollouts (MJPC-style reduced solver):
-  solver_iterations: int = 4
-  ls_iterations: int = 4
+  # Physics fidelity for planning rollouts (MJPC-style reduced solver;
+  # the Newton warmstart carries across substeps, so 2 iterations suffice
+  # for planning-grade accuracy — MJPC itself plans with 1).
+  solver_iterations: int = 2
+  ls_iterations: int = 3
 
 
 from dexterity_tpu.utils.structs import pytree_dataclass
