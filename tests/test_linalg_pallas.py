@@ -1,0 +1,31 @@
+"""cholesky_solve custom-vmap correctness (scipy path on CPU; the Pallas
+TPU path is exercised by the same function when
+DEXTERITY_TPU_PALLAS_LINALG=1 on a TPU backend)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dexterity_tpu.physics import linalg_pallas as LP
+
+
+def test_unbatched_matches_dense_solve():
+  rng = np.random.RandomState(0)
+  n = 12
+  a = rng.randn(n, n)
+  h = a @ a.T + 3 * np.eye(n)
+  g = rng.randn(n)
+  x = np.asarray(LP.cholesky_solve(jnp.asarray(h), jnp.asarray(g)))
+  np.testing.assert_allclose(x, np.linalg.solve(h, g), rtol=1e-8)
+
+
+def test_vmapped_matches_dense_solve():
+  rng = np.random.RandomState(1)
+  b, n = 7, 10
+  a = rng.randn(b, n, n)
+  h = np.einsum('bij,bkj->bik', a, a) + 3 * np.eye(n)
+  g = rng.randn(b, n)
+  x = np.asarray(jax.jit(jax.vmap(LP.cholesky_solve))(
+      jnp.asarray(h), jnp.asarray(g)))
+  ref = np.stack([np.linalg.solve(h[i], g[i]) for i in range(b)])
+  np.testing.assert_allclose(x, ref, rtol=1e-7, atol=1e-9)
