@@ -51,9 +51,16 @@ class PredictiveSampling:
 
   def __init__(self, task: task_lib.GoalTask,
                config: PredictiveSamplingConfig = PredictiveSamplingConfig(),
-               dtype=None):
+               dtype=None, extra_reward_fn=None):
+    """Args:
+      extra_reward_fn: optional (model, data, goal) -> scalar planning
+        shaping added to the task reward inside rollouts only (MJPC-style
+        planner costs richer than the env reward, e.g. keep-the-cube-over-
+        the-palm terms for reorient).
+    """
     self.task = task
     self.config = config
+    self.extra_reward_fn = extra_reward_fn
     model = task.compile()
     # Reduced-fidelity planning model (same arrays, fewer solver iters).
     self.model = model.replace(opt=model.opt.replace(
@@ -85,12 +92,18 @@ class PredictiveSampling:
 
   def rollout_return(self, data: T.Data, goal: jax.Array,
                      actions: jax.Array) -> jax.Array:
-    """Discount-free return of one action sequence (H, nu)."""
+    """Discount-free return of one action sequence (H, nu).
+
+    Failure termination (e.g. the reorient prop falling) is modeled inside
+    the rollout: rewards stop accruing once the task's failure predicate
+    fires, so candidate plans that drop the prop score poorly.
+    """
     model = self.model
     gen = self.task.goal_generator
     n_sub = self.task.n_substeps
 
-    def control_step(d, action):
+    def control_step(carry, action):
+      d, alive = carry
       ctrl = d.ctrl.at[jnp.asarray(self._act_ids)].set(
           jnp.clip(action, self._lo, self._hi))
       d = d.replace(ctrl=ctrl)
@@ -98,9 +111,14 @@ class PredictiveSampling:
       dist = gen.goal_distance(goal, gen.current_state(model, d))
       tstate = _reward_state(goal, dist)
       r = self.task.get_reward(model, d, tstate)
-      return d, r
+      if self.extra_reward_fn is not None:
+        r = r + self.extra_reward_fn(model, d, goal)
+      alive = alive & ~self.task.failure_termination(model, d)
+      r = jnp.where(alive, r, 0.0)
+      return (d, alive), r
 
-    _, rewards = jax.lax.scan(control_step, data, actions)
+    (_, _), rewards = jax.lax.scan(
+        control_step, (data, jnp.asarray(True)), actions)
     return jnp.sum(rewards)
 
   def solve(self, data: T.Data, goal: jax.Array, pstate: PlannerState,
