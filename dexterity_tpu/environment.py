@@ -24,7 +24,7 @@ import numpy as np
 from dexterity_tpu import task as task_lib
 from dexterity_tpu.core import types as T
 from dexterity_tpu.physics import step as physics_step
-from dexterity_tpu.utils.structs import pytree_dataclass, static_field
+from dexterity_tpu.utils.structs import pytree_dataclass
 
 
 class StepType(enum.IntEnum):

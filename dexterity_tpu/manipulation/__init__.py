@@ -9,7 +9,6 @@ with the stateful dm_env-style interface for scripts and the explore app.
 from __future__ import annotations
 
 import collections
-import inspect
 from typing import Optional
 
 from dexterity_tpu import environment as _environment

@@ -13,7 +13,6 @@ Run: python -m dexterity_tpu.manipulation.explore \
 from __future__ import annotations
 
 import argparse
-import sys
 
 import numpy as np
 
