@@ -1,5 +1,9 @@
 # Dev workflow (reference: Makefile check/format/test/explore targets).
 
+check:
+	@python -m ruff check dexterity_tpu/ tests/ 2>/dev/null \
+	  || python -m compileall -q dexterity_tpu/ tests/ examples/ scripts/
+
 test:
 	python -m pytest tests/ -x -q
 
@@ -15,4 +19,4 @@ explore:
 import-hands:
 	python tools/import_hands.py
 
-.PHONY: test test-fast bench explore import-hands
+.PHONY: check test test-fast bench explore import-hands

@@ -77,7 +77,10 @@ class GoalEnvironment:
   """Compiled batched goal environment."""
 
   def __init__(self, task: task_lib.GoalTask, dtype=None,
-               goal_retries: int = 10):
+               goal_retries: int = 10,
+               time_limit: Optional[float] = None,
+               seed: Optional[int] = None,
+               strip_singleton_obs_buffer_dim: bool = True):
     self.task = task
     self.model = task.compile()
     # Default dtype follows the jax x64 config (f32 in production, f64 in
@@ -86,6 +89,20 @@ class GoalEnvironment:
     self._goal_retries = goal_retries
     self._slices = task.effector_slices(self.model)
     self._action_spec = task.action_spec(self.model)
+    self.default_seed = seed
+    self._strip_obs_buffer_dim = strip_singleton_obs_buffer_dim
+    # Episode truncation: explicit time_limit (seconds, like
+    # composer.Environment) overrides the task's own step limit.
+    if time_limit is not None and np.isfinite(time_limit):
+      self._step_limit = int(round(time_limit / task.control_timestep))
+    else:
+      self._step_limit = task.step_limit
+
+  def _observations(self, model, data, tstate, eff_state):
+    obs = self.task.observables(model, data, tstate, eff_state)
+    if not self._strip_obs_buffer_dim:
+      obs = {k: v[None] for k, v in obs.items()}
+    return obs
 
   # -- specs ------------------------------------------------------------
 
@@ -180,7 +197,7 @@ class GoalEnvironment:
     eff_state = self._initial_eff_state()
     state = EnvState(data=data, task=tstate, eff_state=eff_state, key=key,
                      step_count=jnp.asarray(0, jnp.int32))
-    obs = self.task.observables(model, data, tstate, eff_state)
+    obs = self._observations(model, data, tstate, eff_state)
     ts = TimeStep(step_type=jnp.asarray(StepType.FIRST, jnp.int32),
                   reward=jnp.asarray(0.0, self.dtype),
                   discount=jnp.asarray(1.0, self.dtype),
@@ -256,11 +273,11 @@ class GoalEnvironment:
     discount = jnp.where(solved & ~failure, 0.0, 1.0).astype(self.dtype)
     reward = jnp.asarray(
         self.task.get_reward(model, data, tstate), self.dtype)
-    obs = self.task.observables(model, data, tstate, eff_state)
+    obs = self._observations(model, data, tstate, eff_state)
 
     step_count = state.step_count + 1
-    if self.task.step_limit is not None:
-      terminate = terminate | (step_count >= self.task.step_limit)
+    if self._step_limit is not None:
+      terminate = terminate | (step_count >= self._step_limit)
     step_type = jnp.where(terminate, StepType.LAST,
                           StepType.MID).astype(jnp.int32)
     new_state = EnvState(data=data, task=tstate, eff_state=eff_state,

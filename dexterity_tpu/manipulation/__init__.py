@@ -66,15 +66,27 @@ def load(domain_name: str, task_name: str, seed: Optional[int] = None,
          dtype=None) -> _environment.GoalEnvironment:
   """Builds and compiles a task environment.
 
+  Honors the reference `load()` contract
+  (dexterity/manipulation/__init__.py:57-86):
+    seed: default PRNG seed, used when the environment is driven through
+      the stateful InteractiveEnvironment wrapper (the pure `reset(key)`
+      API takes explicit keys).
+    strip_singleton_obs_buffer_dim: when False, every observation keeps the
+      leading (buffer_size=1,) axis the reference's composer observables
+      carry.
+    time_limit: episode wall-clock truncation in seconds; converted to a
+      step limit at the task control rate like composer.Environment.
+
   Contact-pair pruning is already baked into the model assets at import
   time (the reference prunes per-load, manipulation/__init__.py:71-74).
   """
-  del seed, strip_singleton_obs_buffer_dim, time_limit  # API parity
   task = build_task(domain_name, task_name)
-  return _environment.GoalEnvironment(task, dtype=dtype)
+  return _environment.GoalEnvironment(
+      task, dtype=dtype, time_limit=time_limit, seed=seed,
+      strip_singleton_obs_buffer_dim=strip_singleton_obs_buffer_dim)
 
 
 def load_interactive(domain_name: str, task_name: str,
                      seed: Optional[int] = None, **kwargs):
-  env = load(domain_name, task_name, **kwargs)
+  env = load(domain_name, task_name, seed=seed, **kwargs)
   return _environment.InteractiveEnvironment(env, seed=seed)

@@ -1,10 +1,10 @@
 """Observation configuration (reference: manipulation/shared/observations.py).
 
 The dataclass surface matches the reference so downstream configuration code
-ports unchanged.  buffer_size/delay/corruptor are accepted for parity; the
-batched TPU environments currently realize enabled/disabled selection and
-update intervals (buffering/delay would be scan-carried state and are not
-used by any reference task preset).
+ports unchanged.  The batched TPU environments realize enabled/disabled
+selection and update intervals; non-default buffer_size/delay/corruptor
+values (unused by every reference preset) raise NotImplementedError at
+model-observable construction instead of being silently ignored.
 """
 
 from __future__ import annotations

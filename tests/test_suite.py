@@ -33,8 +33,7 @@ def _env_and_fns(domain, task):
   return env, jax.jit(env.reset), jax.jit(env.step)
 
 
-@pytest.mark.parametrize('domain,task', [('reach', 'state_dense'),
-                                         ('reorient', 'state_dense')])
+@pytest.mark.parametrize('domain,task', manipulation.ALL_TASKS)
 def test_task_runs_episodes(domain, task):
   env, reset, step = _env_and_fns(domain, task)
   spec = env.action_spec()
@@ -108,11 +107,45 @@ def _juggle_env():
   return env, jax.jit(env.reset), jax.jit(env.step)
 
 
-@pytest.mark.slow
 def test_juggle_runs():
+  """2-step juggle smoke (kept out of the slow set so CI covers the domain;
+  the full random-rollout coverage lives in test_task_runs_episodes)."""
   env, reset, step = _juggle_env()
   state, ts = reset(jax.random.PRNGKey(0))
   a = jnp.zeros(env.action_spec().shape[0])
   state, ts = step(state, a)
   assert float(ts.reward) == 0.0  # reference: reward stubbed (juggle.py:143)
   assert np.all(np.isfinite(np.asarray(state.data.qpos)))
+
+
+def test_load_contract_time_limit_and_seed():
+  """`load()` honors time_limit/seed/strip_singleton_obs_buffer_dim
+  (reference: manipulation/__init__.py:57-86)."""
+  env = manipulation.load('reach', 'state_dense', seed=7, time_limit=0.1)
+  # 0.1 s at 50 Hz control -> 5 steps.
+  assert env._step_limit == 5
+  assert env.default_seed == 7
+  reset, step = jax.jit(env.reset), jax.jit(env.step)
+  state, ts = reset(jax.random.PRNGKey(0))
+  a = jnp.zeros(env.action_spec().shape[0])
+  for i in range(5):
+    state, ts = step(state, a)
+  assert bool(ts.last())
+
+  env2 = manipulation.load('reach', 'state_dense',
+                           strip_singleton_obs_buffer_dim=False)
+  _, ts2 = jax.jit(env2.reset)(jax.random.PRNGKey(0))
+  for k, v in ts2.observation.items():
+    assert v.shape[0] == 1, k
+
+
+def test_unsupported_observable_options_raise():
+  import dataclasses
+
+  from dexterity_tpu.manipulation.shared import observations
+  from dexterity_tpu.models.observables import HandObservables
+
+  bad = dataclasses.replace(
+      observations.ObservationSet.STATE_ONLY.value.proprio, buffer_size=4)
+  with pytest.raises(NotImplementedError):
+    HandObservables(None, 'h/', options={'joint_positions': bad})
