@@ -277,6 +277,11 @@ class Data:
   qfrc_passive: jax.Array    # (nv,)
   qfrc_actuator: jax.Array   # (nv,)
   qfrc_constraint: jax.Array  # (nv,)
+  # Dof-space (joint-structural) constraint force: limits, frictionloss and
+  # JOINT/TENDON equality rows only — the part of qfrc_constraint a joint
+  # torque sensor sees (contacts and CONNECT/WELD wrenches are external to
+  # the joint).  Feeds the joint_torques observable.
+  qfrc_constraint_axis: jax.Array  # (nv,)
   qacc_smooth: jax.Array     # (nv,)
   qacc: jax.Array            # (nv,)
 
@@ -320,7 +325,8 @@ def make_data(model: Model, dtype=None) -> Data:
       cdof=z(nv, 6), cvel=z(nbody, 6),
       qM=z(nv, nv), qLD=z(nv, nv),
       qfrc_bias=z(nv), qfrc_passive=z(nv), qfrc_actuator=z(nv),
-      qfrc_constraint=z(nv), qacc_smooth=z(nv), qacc=z(nv),
+      qfrc_constraint=z(nv), qfrc_constraint_axis=z(nv),
+      qacc_smooth=z(nv), qacc=z(nv),
       ten_length=z(model.ntendon), ten_velocity=z(model.ntendon),
       actuator_length=z(nu), actuator_velocity=z(nu), actuator_force=z(nu),
       contact=Contact(

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -21,7 +20,6 @@ from dexterity_tpu.manipulation.shared import observations, rewards, tags
 from dexterity_tpu.models import arenas, hands
 from dexterity_tpu.models.binding import HandBinding
 from dexterity_tpu.models.observables import HandObservables
-from dexterity_tpu.physics import step as physics_step
 from dexterity_tpu.utils import collisions
 from dexterity_tpu.utils.registry import TaggedTasks
 
@@ -99,29 +97,14 @@ class Reach(task_lib.GoalTask):
   def initialize_episode(self, model, data, key):
     """Collision-free random init at 50% joint range
     (reference: reach.py:149-158, dexterous_hand.py:144-168)."""
-    b = self._binding
-    dtype = data.qpos.dtype
-    lo = jnp.asarray(b.jnt_range[:, 0] * _INIT_JOINT_RANGE_FRACTION, dtype)
-    hi = jnp.asarray(b.jnt_range[:, 1] * _INIT_JOINT_RANGE_FRACTION, dtype)
-
-    def attempt(carry):
-      key, _, _, tries = carry
-      key, sub = jax.random.split(key)
-      qpos = jax.random.uniform(sub, lo.shape, dtype, lo, hi)
-      d = data.replace(qpos=data.qpos.at[b.qpos_adr].set(qpos))
-      d = physics_step.fwd_position(model, d)
-      colliding = collisions.has_collision(d, self._self_mask)
-      return key, d, ~colliding, tries + 1
-
-    def cond(carry):
-      _, _, ok, tries = carry
-      return (~ok) & (tries < _MAX_INIT_SAMPLES)
-
-    carry = (key, data, jnp.asarray(False), jnp.asarray(0))
-    _, d, _, _ = jax.lax.while_loop(cond, attempt, carry)
+    qpos, _ = self.hand.sample_collision_free_joint_angles(
+        model, data, self._binding, key,
+        range_fraction=_INIT_JOINT_RANGE_FRACTION,
+        max_tries=_MAX_INIT_SAMPLES)
     # Hold the sampled pose: ctrl tracking the initial qpos keeps the
     # gravity-compensated hand stationary until the first action.
-    return d
+    return data.replace(
+        qpos=data.qpos.at[np.asarray(self._binding.qpos_adr)].set(qpos))
 
   def observables(self, model, data, task_state, eff_state):
     obs = self._hand_obs.as_dict(model, data)

@@ -123,6 +123,109 @@ class DexterousHand:
   def control_to_joint_positions(self, control):
     return self.control_to_position @ control
 
+  # -- joint-angle sampling (reference: dexterous_hand.py:120-168) --------
+
+  @property
+  def joint_ranges(self) -> np.ndarray:
+    """(num_joints, 2) joint limits from the model spec."""
+    by_name = {j.name: j for b in self.spec.worldbody.walk()
+               for j in b.joints}
+    return np.asarray([by_name[n].range for n in self.joint_names])
+
+  @property
+  def coupled_joint_ids(self) -> Tuple[Tuple[int, ...], ...]:
+    """Joint-index groups driven by a single actuator (reference:
+    shadow_hand_e_constants.py COUPLED_JOINT_IDS derivation)."""
+    out = []
+    for row in self.position_to_control:
+      nz = np.nonzero(row)[0]
+      if len(nz) > 1:
+        out.append(tuple(int(i) for i in nz))
+    return tuple(out)
+
+  def postprocess_sampled_joint_angles(self, qpos):
+    """Forces coupled joints to share a value (reference:
+    shadow_hand_e.py:124-129, mpl_hand.py:115-120). jnp/np compatible."""
+    for ids in self.coupled_joint_ids:
+      idx = np.asarray(ids)
+      if hasattr(qpos, 'at'):
+        qpos = qpos.at[idx].set(qpos[ids[-1]])
+      else:
+        qpos[idx] = qpos[ids[-1]]
+    return qpos
+
+  def sample_joint_angles(self, key, range_fraction: float = 1.0):
+    """Uniform random joint configuration within range_fraction * limits.
+
+    Pure-JAX counterpart of the reference's sample_joint_angles
+    (dexterous_hand.py:120-142); not guaranteed collision-free.
+    """
+    import jax
+    import jax.numpy as jnp
+    if not 0 <= range_fraction <= 1:
+      raise ValueError('range_fraction must be between 0 and 1.')
+    rng = self.joint_ranges * range_fraction
+    lo = jnp.asarray(rng[:, 0])
+    hi = jnp.asarray(rng[:, 1])
+    qpos = jax.random.uniform(key, lo.shape, lo.dtype, lo, hi)
+    return self.postprocess_sampled_joint_angles(qpos)
+
+  def sample_collision_free_joint_angles(self, model, data, binding, key,
+                                         range_fraction: float = 1.0,
+                                         max_tries: int = 100):
+    """Rejection-samples a self-collision-free configuration in-graph.
+
+    TPU-native counterpart of the reference's
+    sample_collision_free_joint_angles (dexterous_hand.py:144-168): the
+    unbounded host loop on a copied physics becomes a bounded
+    lax.while_loop over (set qpos -> FK -> collision check).
+
+    Args:
+      model: compiled task Model.
+      data: current Data (restored state is not modified).
+      binding: resolved HandBinding of this hand in `model`.
+      key: PRNG key.
+      range_fraction: fraction of each joint's range to sample from.
+      max_tries: rejection budget (static).
+
+    Returns:
+      (qpos (num_joints,), ok bool) — ok is False if the budget ran out;
+      the last sample is returned either way (GoalInitializationError
+      semantics are the caller's responsibility).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from dexterity_tpu.physics import step as physics_step
+    from dexterity_tpu.utils import collisions
+    if not 0 <= range_fraction <= 1:
+      raise ValueError('range_fraction must be between 0 and 1.')
+    self_mask = collisions.self_mask(model, binding.prefix)
+    dtype = data.qpos.dtype
+    rng = self.joint_ranges * range_fraction
+    lo = jnp.asarray(rng[:, 0], dtype)
+    hi = jnp.asarray(rng[:, 1], dtype)
+    qpos_adr = np.asarray(binding.qpos_adr)
+
+    def attempt(carry):
+      key, _, _, tries = carry
+      key, sub = jax.random.split(key)
+      qpos = jax.random.uniform(sub, lo.shape, dtype, lo, hi)
+      qpos = self.postprocess_sampled_joint_angles(qpos)
+      d = data.replace(qpos=data.qpos.at[qpos_adr].set(qpos))
+      d = physics_step.fwd_position(model, d)
+      colliding = collisions.has_collision(d, self_mask)
+      return key, qpos, ~colliding, tries + 1
+
+    def cond(carry):
+      _, _, ok, tries = carry
+      return (~ok) & (tries < max_tries)
+
+    carry = (key, jnp.zeros(self.num_joints, dtype), jnp.asarray(False),
+             jnp.asarray(0))
+    _, qpos, ok, _ = jax.lax.while_loop(cond, attempt, carry)
+    return qpos, ok
+
   @property
   def num_joints(self) -> int:
     return len(self.joint_names)

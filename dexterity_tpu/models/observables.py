@@ -111,12 +111,19 @@ class HandObservables:
   def joint_torques(self, model, data):
     """Torque transmitted through each joint, projected on its axis.
 
-    The reference reads 3-axis torque sensors at each joint
-    (dexterous_hand.py:266-275); the generalized-coordinate equivalent is
-    the inverse-dynamics joint torque tau = M qacc + bias - J^T f_applied,
-    i.e. the total actuation+constraint torque at each dof.
+    The reference reads 3-axis torque sensors at each joint and projects
+    them onto the joint axes (dexterous_hand.py:266-275).  MuJoCo's torque
+    sensor reads cfrc_int (body-level interaction wrench); its axis
+    projection equals the motion-subspace transmitted force: actuation +
+    passive damping + user generalized force + dof-space constraint forces
+    (limits/frictionloss/JOINT/TENDON equalities) minus the armature
+    inertia torque (cfrc_int is body-level RNE, which never sees rotor
+    armature) — contacts and CONNECT/WELD wrenches are external and drop
+    out.  Verified to machine precision against MuJoCo sensordata
+    (tests/test_physics_conformance.py joint-torque conformance).
     """
-    tau = (data.qfrc_actuator + data.qfrc_constraint + data.qfrc_passive)
+    tau = (data.qfrc_actuator + data.qfrc_passive + data.qfrc_applied
+           + data.qfrc_constraint_axis - model.dof_armature * data.qacc)
     return tau[self.dof_adr]
 
   def fingertip_positions(self, model, data):

@@ -54,6 +54,11 @@ class Rows(NamedTuple):
   invweight: jax.Array  # (nrow,)
   fl: jax.Array       # (nrow,) frictionloss bound (only for FL rows)
   kind: np.ndarray    # (nrow,) static row-type codes
+  # Static: True for rows whose force is transmitted through the joint
+  # structure (limits, frictionloss, JOINT/TENDON equalities) — the rows a
+  # joint torque sensor sees.  False for contacts and CONNECT/WELD wrenches
+  # (external to the joints; MuJoCo accounts them in cfrc_ext).
+  transmitted: np.ndarray  # (nrow,) bool
 
 
 def impedance(solimp: jax.Array, r: jax.Array) -> jax.Array:
@@ -93,8 +98,9 @@ def _kbi(solref: jax.Array, solimp: jax.Array, r: jax.Array, vel: jax.Array,
 
 
 def _eq_rows(model: Model, data: Data, dtype):
-  """Equality constraint rows."""
-  js, refs, ds, iws = [], [], [], []
+  """Equality constraint rows.  Also returns a static per-row flag: True
+  for dof-space rows (JOINT/TENDON), False for CONNECT/WELD wrenches."""
+  js, refs, ds, iws, trans = [], [], [], [], []
   h = model.opt.timestep
   dof_qposadr = kinematics._dof_qposadr(model)
   for ei in range(model.neq):
@@ -128,6 +134,7 @@ def _eq_rows(model: Model, data: Data, dtype):
       js.append(row)
       refs.append(aref)
       ds.append(dd)
+      trans.append(True)
       iw = model.dof_invweight0[d1]
       if j2 >= 0:
         iw = iw + model.dof_invweight0[d2]
@@ -157,6 +164,7 @@ def _eq_rows(model: Model, data: Data, dtype):
       refs.append(aref)
       ds.append(dd)
       iws.append(iw)
+      trans.append(True)
     elif etype in (EqType.CONNECT, EqType.WELD):
       b1 = model.eq_obj1[ei]
       b2 = model.eq_obj2[ei]
@@ -176,6 +184,7 @@ def _eq_rows(model: Model, data: Data, dtype):
         refs.append(aref)
         ds.append(dd)
         iws.append(iw)
+        trans.append(False)
       if etype == EqType.WELD:
         from dexterity_tpu.physics import math as tmath
         # Orientation residual: rotation vector of q1^-1 q2 (relpose id).
@@ -195,9 +204,10 @@ def _eq_rows(model: Model, data: Data, dtype):
           refs.append(aref)
           ds.append(dd)
           iws.append(iw_r / jnp.maximum(torquescale ** 2, 1e-12))
+          trans.append(False)
     else:
       raise NotImplementedError(etype)
-  return js, refs, ds, iws
+  return js, refs, ds, iws, trans
 
 
 def _fl_rows(model: Model, data: Data, dtype):
@@ -378,7 +388,7 @@ def _contact_rows(model: Model, data: Data, dtype):
 def assemble(model: Model, data: Data) -> Rows:
   dtype = data.qpos.dtype
 
-  ej, er, ed, ei = _eq_rows_blocks(model, data, dtype)
+  ej, er, ed, ei, etrans = _eq_rows_blocks(model, data, dtype)
   fj, fr, fd, fi, ffl = _fl_rows(model, data, dtype)
   lj, lr, ld, li = _limit_rows(model, data, dtype)
   cj, cr, cd, ci = _contact_rows(model, data, dtype)
@@ -391,20 +401,24 @@ def assemble(model: Model, data: Data) -> Rows:
       np.full(n_c, _UNILATERAL, np.int32)])
   fl = jnp.concatenate([jnp.zeros(n_e, dtype), ffl,
                         jnp.zeros(n_l + n_c, dtype)])
+  transmitted = np.concatenate([etrans, np.ones(n_f + n_l, bool),
+                                np.zeros(n_c, bool)])
   return Rows(
       J=jnp.concatenate([ej, fj, lj, cj]),
       aref=jnp.concatenate([er, fr, lr, cr]),
       d=jnp.concatenate([ed, fd, ld, cd]),
       invweight=jnp.concatenate([ei, fi, li, ci]),
-      fl=fl, kind=kind)
+      fl=fl, kind=kind, transmitted=transmitted)
 
 
 def _eq_rows_blocks(model: Model, data: Data, dtype):
-  js, refs, ds, iws = _eq_rows(model, data, dtype)
+  js, refs, ds, iws, trans = _eq_rows(model, data, dtype)
   if not js:
     z = jnp.zeros((0,), dtype)
-    return jnp.zeros((0, model.nv), dtype), z, z, z
-  return (jnp.stack(js), jnp.stack(refs), jnp.stack(ds), jnp.stack(iws))
+    return (jnp.zeros((0, model.nv), dtype), z, z, z,
+            np.zeros(0, bool))
+  return (jnp.stack(js), jnp.stack(refs), jnp.stack(ds), jnp.stack(iws),
+          np.asarray(trans, bool))
 
 
 # ---------------------------------------------------------------------------
@@ -413,8 +427,10 @@ def _eq_rows_blocks(model: Model, data: Data, dtype):
 
 
 def solve(model: Model, data: Data, qfrc_smooth: jax.Array) -> Data:
+  from dexterity_tpu.physics import linalg_pallas
+
   def smooth_only():
-    qacc = jax.scipy.linalg.solve(data.qM, qfrc_smooth, assume_a='pos')
+    qacc = linalg_pallas.cholesky_solve(data.qM, qfrc_smooth)
     return data.replace(qfrc_constraint=jnp.zeros_like(qfrc_smooth),
                         qacc_smooth=qacc, qacc=qacc)
 
@@ -434,7 +450,6 @@ def solve(model: Model, data: Data, qfrc_smooth: jax.Array) -> Data:
 
   is_bilateral = jnp.asarray(rows.kind == _BILATERAL)
   is_fl = jnp.asarray(rows.kind == _FRICTIONLOSS)
-  is_unilateral = jnp.asarray(rows.kind == _UNILATERAL)
 
   m = data.qM
 
@@ -453,11 +468,8 @@ def solve(model: Model, data: Data, qfrc_smooth: jax.Array) -> Data:
                             jnp.where(x < 0, big_d, 0.0)))
     return f, w
 
-  def cost(a):
-    """Primal objective up to a constant: the Gauss term
-    0.5 (a - a0)^T M (a - a0) is expanded as 0.5 a^T M a - a . qfrc_smooth
-    so qacc_smooth (an M-solve) never needs to be computed."""
-    x = rows.J @ a - rows.aref
+  def row_cost(x):
+    """Per-row convex penalty s(x); summed over the last axis."""
     quad = 0.5 * big_d * x * x
     c_fl_lin = rows.fl * jnp.abs(x) - 0.5 * rows.fl * rows.fl / jnp.maximum(
         big_d, 1e-12)
@@ -465,33 +477,56 @@ def solve(model: Model, data: Data, qfrc_smooth: jax.Array) -> Data:
     c_uni = jnp.where(x < 0, quad, 0.0)
     c_rows = jnp.where(is_bilateral, quad,
                        jnp.where(is_fl, c_fl, c_uni))
-    return 0.5 * a @ (m @ a) - a @ qfrc_smooth + jnp.sum(c_rows)
+    return jnp.sum(c_rows, axis=-1)
 
-  def newton_step(a, _):
-    x = rows.J @ a - rows.aref
+  # The Newton carry holds (a, x = J a - aref, ma = M a) so each iteration
+  # costs two matvecs (J delta, M delta) + one transpose matvec (J^T f) and
+  # the line search is a closed-form quadratic in alpha plus the row
+  # penalty on rank-1-updated residuals — no re-evaluated J @ (a + al d).
+  alphas = 2.0 ** -jnp.arange(model.opt.ls_iterations, dtype=dtype)
+
+  def total_cost(a, x, ma):
+    return 0.5 * (a @ ma) - a @ qfrc_smooth + row_cost(x)
+
+  def newton_step(carry, _):
+    a, x, ma = carry
     f, w = force_and_weight(x)
-    grad = m @ a - qfrc_smooth - rows.J.T @ f
+    grad = ma - qfrc_smooth - rows.J.T @ f
     hess = m + (rows.J.T * w) @ rows.J
-    chol = jax.scipy.linalg.cho_factor(
-        hess + 1e-10 * jnp.eye(model.nv, dtype=dtype))
-    delta = -jax.scipy.linalg.cho_solve(chol, grad)
-    # Backtracking line search on the exact convex cost.
-    c0 = cost(a)
-    alphas = 2.0 ** -jnp.arange(model.opt.ls_iterations, dtype=dtype)
-    costs = jax.vmap(lambda al: cost(a + al * delta))(alphas)
+    delta = -linalg_pallas.cholesky_solve(
+        hess + 1e-10 * jnp.eye(model.nv, dtype=dtype), grad)
+    jd = rows.J @ delta
+    md = m @ delta
+    # cost(a + al*delta) = quad0 + al*lin + al^2*quad2 + row_cost(x + al*jd)
+    quad0 = 0.5 * (a @ ma) - a @ qfrc_smooth
+    lin = delta @ ma - delta @ qfrc_smooth
+    quad2 = 0.5 * (delta @ md)
+    c0 = quad0 + row_cost(x)
+    x_al = x[None, :] + alphas[:, None] * jd[None, :]      # (L, nrow)
+    costs = quad0 + alphas * lin + alphas * alphas * quad2 + row_cost(x_al)
     best = jnp.argmin(costs)
     improved = costs[best] < c0
-    a_new = jnp.where(improved, a + alphas[best] * delta, a)
-    return a_new, ()
+    step = jnp.where(improved, alphas[best], 0.0)
+    return (a + step * delta, x + step * jd, ma + step * md), ()
 
   # Warm start from the previous step's qacc (MuJoCo warmstart semantics);
   # zero is the safe alternative at episode starts.
-  zero = jnp.zeros_like(data.qacc)
-  a_init = jnp.where(cost(data.qacc) < cost(zero), data.qacc, zero)
-  a, _ = jax.lax.scan(newton_step, a_init, (),
-                      length=model.opt.solver_iterations)
+  warm = data.qacc
+  x_warm = rows.J @ warm - rows.aref
+  ma_warm = m @ warm
+  x_zero = -rows.aref
+  c_warm = total_cost(warm, x_warm, ma_warm)
+  c_zero = row_cost(x_zero)
+  use_warm = c_warm < c_zero
+  carry0 = (jnp.where(use_warm, warm, 0.0),
+            jnp.where(use_warm, x_warm, x_zero),
+            jnp.where(use_warm, ma_warm, 0.0))
+  (a, x, _), _ = jax.lax.scan(newton_step, carry0, (),
+                              length=model.opt.solver_iterations)
 
-  x = rows.J @ a - rows.aref
   f, _ = force_and_weight(x)
   qfrc_constraint = rows.J.T @ f
-  return data.replace(qacc=a, qfrc_constraint=qfrc_constraint)
+  trans = jnp.asarray(rows.transmitted, dtype)
+  qfrc_constraint_axis = rows.J.T @ (f * trans)
+  return data.replace(qacc=a, qfrc_constraint=qfrc_constraint,
+                      qfrc_constraint_axis=qfrc_constraint_axis)

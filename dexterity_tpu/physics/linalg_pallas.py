@@ -1,29 +1,36 @@
 """Batched small-matrix Cholesky solve as a Pallas TPU kernel.
 
-STATUS: experimental, correct but not yet competitive. XLA lowers
-jax.scipy's Cholesky/triangular solves to LinAlg custom-calls (~3-5 ms for
-(1024, 30, 30) on the tunneled v5e); this kernel computes the same result
-(verified to ~1e-6 relative) with the batch spread over (8, 128) vector
-registers, but Mosaic currently materializes the per-column slice updates
-through VMEM with relayouts, landing at ~75 ms.  Keeping the factorization
-in registers needs a blocked formulation (ROADMAP.md round-2 item 2); the
-physics hot path therefore still uses jax.scipy, and this module is the
-starting point + correctness harness for that work.
+XLA lowers jax.scipy's Cholesky/triangular solves to LinAlg custom-calls
+(~2.7 ms for (512, 30, 30) f32 on v5e — measured, tools/profile_stages.py);
+the physics step performs several such solves per substep, making them a
+dominant cost.  This kernel computes the same factorization with the batch
+spread over (8, 128) vector registers — every batch element occupies one
+lane position and the n x n matrix algebra happens across the leading axes,
+so each scalar operation of the textbook algorithm is a full-width VPU op
+over 1024 batch instances.
+
+Formulation notes (why this one is fast where the round-1 kernel was ~75 ms):
+right-looking Cholesky with a full-matrix rank-1 update per column.  All
+slices are static (the column loop is unrolled at trace time), every
+operand keeps the (…, 8, 128) register tile as its minor dims, and there is
+no dynamic middle-axis indexing for Mosaic to relayout.
 
 `cholesky_solve(h, g)` is exposed through jax.custom_batching.custom_vmap:
 the unbatched call (inside per-env code) uses jax.scipy; under vmap the
-batched rule dispatches the Pallas kernel on TPU when
-DEXTERITY_TPU_PALLAS_LINALG=1 (vmapped jax.scipy otherwise), so call sites
-stay per-env and pure.
+batched rule dispatches the Pallas kernel on TPU (set
+DEXTERITY_TPU_PALLAS_LINALG=0 to force vmapped jax.scipy).
+
+Replaces the reference's dense-solver C boundary (mj_solveM / the implicit
+Euler and constraint-Hessian solves inside mj_step; SURVEY.md §2.7).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 _SUB = 8
 _LANES = 128
@@ -31,44 +38,47 @@ _TILE = _SUB * _LANES  # batch instances per grid cell
 
 
 def _kernel(n):
-  def kernel(h_ref, g_ref, x_ref, ll, inv_d, y):
-    # Blocks are (n, n, 1, 8, 128) / (n, 1, 8, 128); the column axis of L
-    # lives in scratch refs so stores are plain indexed writes (Pallas has
-    # no scatter lowering).
-    # Cholesky via column updates.
-    for j in range(n):
-      # s[i] = h[i, j] - sum_{k<j} L[i,k] L[j,k]
-      s = h_ref[:, j, 0]                            # (n, 8, 128)
-      if j:
-        contrib = (ll[:, :j] * ll[j, :j][None]).sum(axis=1)
-        s = s - contrib
-      d = jnp.sqrt(jnp.maximum(s[j], 1e-12))
-      inv = 1.0 / d
-      ll[:, j] = s * inv[None]
-      ll[j, j] = d
-      inv_d[j] = inv
+  def kernel(h_ref, g_ref, x_ref, a, y):
+    # Blocks: h (n, n, 1, 8, 128), g/x (n, 1, 8, 128).
+    # Scratch: a (n, n, 8, 128) working copy, y (n, 8, 128).
+    a[...] = h_ref[:, :, 0]
+    y[...] = g_ref[:, 0]
 
-    # Forward substitution L y = g.
-    for i in range(n):
-      s = g_ref[i, 0]
-      if i:
-        s = s - (ll[i, :i] * y[:i]).sum(axis=0)
-      y[i] = s * inv_d[i]
-    # Back substitution L^T x = y (write into the output ref directly).
-    for i in reversed(range(n)):
-      s = y[i]
-      if i < n - 1:
-        s = s - (ll[i + 1:, i] * x_ref[i + 1:, 0]).sum(axis=0)
-      x_ref[i, 0] = s * inv_d[i]
+    # Right-looking Cholesky: after step k, row k of `a` holds
+    # L[k, :] * inv_d[k] pattern folded so that a[k, j] (j < k) is L[k, j]
+    # and the trailing submatrix holds the Schur complement.
+    inv_d = []
+    for k in range(n):
+      inv = jax.lax.rsqrt(jnp.maximum(a[k, k], 1e-12))
+      inv_d.append(inv)
+      col = a[:, k] * inv[None]          # (n, 8, 128); rows < k are garbage
+      # Rank-1 Schur update of the full matrix; rows/cols <= k become
+      # garbage but are never read again.
+      a[...] = a[...] - col[:, None] * col[None, :]
+      # Store the scaled column (the L factor) back into column k.
+      a[:, k] = col
+
+    # Forward substitution L y = g (column-oriented, static slices).
+    for k in range(n):
+      yk = y[k] * inv_d[k]
+      if k + 1 < n:
+        y[k + 1:] = y[k + 1:] - a[k + 1:, k] * yk[None]
+      y[k] = yk
+
+    # Back substitution L^T x = y.  L^T[j, k] = L[k, j] = a[k, j].
+    for k in reversed(range(n)):
+      xk = y[k] * inv_d[k]
+      if k:
+        y[:k] = y[:k] - a[k, :k] * xk[None]
+      x_ref[k, 0] = xk
   return kernel
 
 
 @functools.lru_cache(maxsize=32)
-def _build_pallas(n, b_pad, dtype_name):
+def _build_pallas(n, tiles, dtype_name):
   from jax.experimental import pallas as pl
   from jax.experimental.pallas import tpu as pltpu
   dtype = jnp.dtype(dtype_name)
-  tiles = b_pad // _TILE
   return pl.pallas_call(
       _kernel(n),
       out_shape=jax.ShapeDtypeStruct((n, tiles, _SUB, _LANES), dtype),
@@ -82,8 +92,7 @@ def _build_pallas(n, b_pad, dtype_name):
       out_specs=pl.BlockSpec((n, 1, _SUB, _LANES), lambda i: (0, i, 0, 0),
                              memory_space=pltpu.VMEM),
       scratch_shapes=[
-          pltpu.VMEM((n, n, _SUB, _LANES), dtype),   # L
-          pltpu.VMEM((n, _SUB, _LANES), dtype),      # inv diag
+          pltpu.VMEM((n, n, _SUB, _LANES), dtype),   # working matrix / L
           pltpu.VMEM((n, _SUB, _LANES), dtype),      # y
       ],
   )
@@ -91,10 +100,10 @@ def _build_pallas(n, b_pad, dtype_name):
 
 def _batched_impl(h, g):
   """(B, n, n), (B, n) -> (B, n)."""
-  import os
   b, n, _ = h.shape
-  use_pallas = os.environ.get('DEXTERITY_TPU_PALLAS_LINALG') == '1'
-  if not use_pallas or jax.default_backend() != 'tpu' or n > 48:
+  use_pallas = os.environ.get('DEXTERITY_TPU_PALLAS_LINALG', '1') == '1'
+  if (not use_pallas or jax.default_backend() != 'tpu' or n > 48
+      or h.dtype not in (jnp.float32,)):
     return jax.vmap(
         lambda hh, gg: jax.scipy.linalg.cho_solve(
             jax.scipy.linalg.cho_factor(hh), gg))(h, g)
@@ -102,6 +111,7 @@ def _batched_impl(h, g):
   h_t = jnp.moveaxis(h, 0, -1)                       # (n, n, B)
   g_t = jnp.moveaxis(g, 0, -1)                       # (n, B)
   if b_pad != b:
+    # Padding lanes factor the identity (never read back).
     eye = jnp.eye(n, dtype=h.dtype)[:, :, None]
     pad_mask = (jnp.arange(b_pad) >= b)[None, None, :]
     h_t = jnp.pad(h_t, ((0, 0), (0, 0), (0, b_pad - b)))
@@ -110,7 +120,7 @@ def _batched_impl(h, g):
   tiles = b_pad // _TILE
   h_t = h_t.reshape(n, n, tiles, _SUB, _LANES)
   g_t = g_t.reshape(n, tiles, _SUB, _LANES)
-  x_t = _build_pallas(n, b_pad, str(h.dtype))(h_t, g_t)
+  x_t = _build_pallas(n, tiles, str(h.dtype))(h_t, g_t)
   x = x_t.reshape(n, b_pad)[:, :b]
   return jnp.moveaxis(x, -1, 0)
 

@@ -61,7 +61,8 @@ def crb(model: Model, data: Data) -> Data:
 
 def solve_m(data: Data, vec: jax.Array) -> jax.Array:
   """Solves M x = vec."""
-  return jax.scipy.linalg.solve(data.qM, vec, assume_a='pos')
+  from dexterity_tpu.physics import linalg_pallas
+  return linalg_pallas.cholesky_solve(data.qM, vec)
 
 
 # ---------------------------------------------------------------------------
@@ -348,8 +349,12 @@ def euler(model: Model, data: Data) -> Data:
   qfrc = (data.qfrc_passive + data.qfrc_actuator + data.qfrc_applied
           + xfrc_accumulate(model, data) - data.qfrc_bias
           + data.qfrc_constraint)
+  from dexterity_tpu.physics import linalg_pallas
   mhb = data.qM + h * jnp.diag(model.dof_damping)
-  qacc = jax.scipy.linalg.solve(mhb, qfrc, assume_a='pos')
-  qvel = data.qvel + h * qacc
+  qacc_implicit = linalg_pallas.cholesky_solve(mhb, qfrc)
+  qvel = data.qvel + h * qacc_implicit
   qpos = integrate_pos(model, data.qpos, qvel, h)
-  return data.replace(qpos=qpos, qvel=qvel, qacc=qacc, time=data.time + h)
+  # data.qacc keeps the explicit (constraint-stage) acceleration, matching
+  # MuJoCo's mj_Euler which integrates with the damping-implicit solve but
+  # leaves mjData.qacc as mj_forward computed it (warmstart + sensors).
+  return data.replace(qpos=qpos, qvel=qvel, time=data.time + h)

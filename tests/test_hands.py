@@ -72,3 +72,57 @@ def test_compile_and_step(all_hands):
   data = T.make_data(model)
   data = jax.jit(lambda d: physics_step.step(model, d))(data)
   assert np.all(np.isfinite(np.asarray(data.qpos)))
+
+
+def test_sample_joint_angles_within_limits(all_hands):
+  """sample_joint_angles stays inside range_fraction * limits and couples
+  tendon-driven joints (reference: dexterous_hand.py:120-142,
+  hands_test.py sampling tests)."""
+  import jax
+  for name, hand in all_hands.items():
+    ranges = hand.joint_ranges
+    for frac in (1.0, 0.5):
+      qpos = np.asarray(hand.sample_joint_angles(jax.random.PRNGKey(0),
+                                                 range_fraction=frac))
+      lo, hi = (ranges * frac).T
+      assert np.all(qpos >= lo - 1e-9), name
+      assert np.all(qpos <= hi + 1e-9), name
+      for ids in hand.coupled_joint_ids:
+        vals = qpos[np.asarray(ids)]
+        np.testing.assert_allclose(vals, vals[0], err_msg=name)
+
+
+def test_sample_joint_angles_rejects_bad_fraction(all_hands):
+  import jax
+  hand = all_hands['adroit']
+  import pytest
+  with pytest.raises(ValueError):
+    hand.sample_joint_angles(jax.random.PRNGKey(0), range_fraction=1.5)
+
+
+def test_sample_collision_free_joint_angles(all_hands):
+  """Sampled configurations are genuinely self-collision-free
+  (reference: hands_test.py:100-110, 50x there; 5x here for CI time)."""
+  import jax
+  from dexterity_tpu.core import types as T
+  from dexterity_tpu.models.binding import HandBinding
+  from dexterity_tpu.physics import step as physics_step
+  from dexterity_tpu.utils import collisions
+
+  hand = all_hands['adroit']
+  model = hand.spec.compile()
+  binding = HandBinding(hand, '').resolve(model)
+  data = T.make_data(model)
+  self_mask = collisions.self_mask(model, '')
+
+  @jax.jit
+  def sample(key):
+    return hand.sample_collision_free_joint_angles(
+        model, data, binding, key, range_fraction=0.5)
+
+  for seed in range(5):
+    qpos, ok = sample(jax.random.PRNGKey(seed))
+    assert bool(ok), seed
+    d = data.replace(qpos=data.qpos.at[np.asarray(binding.qpos_adr)].set(qpos))
+    d = jax.jit(lambda dd: physics_step.fwd_position(model, dd))(d)
+    assert not bool(collisions.has_collision(d, self_mask)), seed

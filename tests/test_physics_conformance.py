@@ -150,6 +150,83 @@ def test_ball_contact_trajectories(case, qpos, qvel):
   np.testing.assert_allclose(np.asarray(data.qvel), md.qvel, atol=1e-5)
 
 
+def test_adroit_joint_torque_sensor_conformance():
+  """joint_torques observable vs real MuJoCo 3-axis torque sensors.
+
+  Reproduces the reference's sensor construction (adroit_hand.py:153-172:
+  a site at each joint's body origin + a <torque> sensor) on the MuJoCo
+  side only, steps both engines through the same controlled trajectory, and
+  compares MuJoCo's sensordata projected on the joint axes
+  (dexterous_hand.py:266-275) with the dof-space transmitted force this
+  engine exposes as data.qfrc_constraint_axis + actuation + passive terms.
+  """
+  import os
+  import tempfile
+  path = HANDS['adroit']
+  # MjSpec needs the same apirate cleanup as MjModel loading.
+  src_dir = os.path.dirname(path)
+  tmp = tempfile.mkdtemp()
+  mjcf_dir = os.path.join(tmp, 'mjcf')
+  os.makedirs(mjcf_dir)
+  parent = os.path.dirname(src_dir)
+  for entry in os.listdir(parent):
+    if entry != 'mjcf':
+      os.symlink(os.path.join(parent, entry), os.path.join(tmp, entry))
+  for entry in os.listdir(src_dir):
+    text = open(os.path.join(src_dir, entry)).read()
+    text = re.sub(r'apirate="[^"]*"\s*', '', text)
+    with open(os.path.join(mjcf_dir, entry), 'w') as f:
+      f.write(text)
+  spec = mujoco.MjSpec.from_file(os.path.join(mjcf_dir,
+                                              os.path.basename(path)))
+  joint_names = []
+  for body in spec.bodies:
+    for joint in body.joints:
+      site = body.add_site()
+      site.name = joint.name + '_site'
+      sensor = spec.add_sensor()
+      sensor.type = mujoco.mjtSensor.mjSENS_TORQUE
+      sensor.objtype = mujoco.mjtObj.mjOBJ_SITE
+      sensor.objname = site.name
+      sensor.name = joint.name + '_torque'
+      joint_names.append(joint.name)
+  mm = spec.compile()
+  md = mujoco.MjData(mm)
+
+  model = load_mjcf(path).compile()
+  rng = np.random.RandomState(7)
+  lo, hi = mm.jnt_range[:, 0], mm.jnt_range[:, 1]
+  qpos = lo + rng.uniform(0.3, 0.7, mm.nq) * (hi - lo)
+  ctrl = mm.actuator_ctrlrange[:, 0] + rng.uniform(0.2, 0.8, mm.nu) * (
+      mm.actuator_ctrlrange[:, 1] - mm.actuator_ctrlrange[:, 0])
+  md.qpos[:] = qpos
+  md.ctrl[:] = ctrl
+  data = T.make_data(model, dtype=jnp.float64)
+  data = data.replace(qpos=jnp.asarray(qpos), ctrl=jnp.asarray(ctrl))
+  stepj = jax.jit(lambda d: tstep.step(model, d))
+
+  # Local joint axes (site frames are identity in the body frame, so the
+  # reference's einsum projects site-frame torque onto jnt_axis directly).
+  axes = np.asarray(mm.jnt_axis)
+  jnt_dofadr = np.asarray(mm.jnt_dofadr)
+  for _ in range(50):
+    mujoco.mj_step(mm, md)
+    data = stepj(data)
+  # The source XML ships its own sensors; read ours by name/address.
+  adr = np.asarray([
+      mm.sensor_adr[mujoco.mj_name2id(mm, mujoco.mjtObj.mjOBJ_SENSOR,
+                                      n + '_torque')]
+      for n in joint_names])
+  torques = np.stack([md.sensordata[a:a + 3] for a in adr])
+  mj_proj = np.einsum('ij,ij->i', torques, axes)
+  ours = (np.asarray(data.qfrc_actuator) + np.asarray(data.qfrc_passive)
+          + np.asarray(data.qfrc_applied)
+          + np.asarray(data.qfrc_constraint_axis)
+          - np.asarray(model.dof_armature) * np.asarray(data.qacc))[jnt_dofadr]
+  scale = max(1.0, np.max(np.abs(mj_proj)))
+  np.testing.assert_allclose(ours, mj_proj, atol=2e-3 * scale)
+
+
 def test_adroit_full_constraints_trajectory():
   """Limits + frictionloss + tendon couplings + explicit-pair contacts."""
   path = HANDS['adroit']
