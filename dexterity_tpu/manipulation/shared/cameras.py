@@ -33,3 +33,16 @@ FRONT_FAR = CameraConfig(
 TOP_DOWN = CameraConfig(
     name='top_down', pos=(0.0, 0.0, 2.5),
     xyaxes=(1.0, 0.0, 0.0, 0.0, 1.0, 0.0))
+
+
+def add_camera_observables(arena, obs_settings, *camera_configs):
+  """Realizes obs_settings.camera for the given cameras
+  (reference: manipulation/shared/cameras.py:53-64).
+
+  Returns a CameraObservables whose as_dict(model, data) yields one
+  (height, width, 3) uint8 observation per camera, rendered host-side
+  (dexterity_tpu.rendering docstring documents the boundary).
+  """
+  from dexterity_tpu import rendering
+  return rendering.CameraObservables(arena.spec, camera_configs,
+                                     obs_settings.camera)

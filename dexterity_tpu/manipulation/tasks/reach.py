@@ -16,7 +16,8 @@ import numpy as np
 from dexterity_tpu import task as task_lib
 from dexterity_tpu.effectors import HandEffector
 from dexterity_tpu.manipulation.goals import fingertip_position
-from dexterity_tpu.manipulation.shared import observations, rewards, tags
+from dexterity_tpu.manipulation.shared import (cameras, observations,
+                                               rewards, tags)
 from dexterity_tpu.models import arenas, hands
 from dexterity_tpu.models.binding import HandBinding
 from dexterity_tpu.models.observables import HandObservables
@@ -47,6 +48,7 @@ class Reach(task_lib.GoalTask):
                use_dense_reward: bool,
                hand_prefix: str,
                observable_options=None,
+               camera_observables=None,
                success_threshold: float = _DISTANCE_TO_TARGET_THRESHOLD,
                successes_needed: int = _SUCCESSES_NEEDED,
                steps_before_changing_goal: int = _STEPS_BEFORE_MOVING_TARGET,
@@ -66,6 +68,7 @@ class Reach(task_lib.GoalTask):
                                      options=observable_options)
     self._self_mask = None
     self._hand_prefix = hand_prefix
+    self._camera_obs = camera_observables
 
     # Fingertip target visualization sites (reference: reach.py:118-127) —
     # goal positions are exposed via the goal_state observable; the target
@@ -109,6 +112,8 @@ class Reach(task_lib.GoalTask):
   def observables(self, model, data, task_state, eff_state):
     obs = self._hand_obs.as_dict(model, data)
     obs['goal_state'] = task_state.goal[:15]
+    if self._camera_obs is not None and self._camera_obs.enabled:
+      obs.update(self._camera_obs.as_dict(model, data))
     return obs
 
   def get_reward(self, model, data, task_state):
@@ -135,12 +140,17 @@ def reach_task(observation_set: observations.ObservationSet,
                                attach_prefix=prefix)
   goal_generator = fingertip_position.FingertipCartesianPosition(
       hand=hand, prefix=prefix)
+  # Closeup camera used for rendering / vision observables
+  # (reference: reach.py:134-137).
+  camera_observables = cameras.add_camera_observables(
+      arena, observation_set.value, cameras.FRONT_CLOSE)
   return Reach(
       arena=arena, hand=hand, hand_effector=hand_effector,
       goal_generator=goal_generator, use_dense_reward=use_dense_reward,
       hand_prefix=prefix,
       observable_options=observations.make_options(
-          observation_set.value, observations.HAND_OBSERVABLES))
+          observation_set.value, observations.HAND_OBSERVABLES),
+      camera_observables=camera_observables)
 
 
 @SUITE.add(tags.STATE, tags.DENSE)

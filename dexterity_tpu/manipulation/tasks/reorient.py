@@ -19,7 +19,7 @@ import numpy as np
 from dexterity_tpu import task as task_lib
 from dexterity_tpu.effectors import HandEffector
 from dexterity_tpu.manipulation.goals import fingertip_position, prop_orientation
-from dexterity_tpu.manipulation.shared import observations, rewards, tags, workspaces
+from dexterity_tpu.manipulation.shared import cameras, observations, rewards, tags, workspaces
 from dexterity_tpu.models import arenas, hands, props
 from dexterity_tpu.models.binding import HandBinding
 from dexterity_tpu.models.observables import FreePropObservables, HandObservables
@@ -70,6 +70,7 @@ class ReOrient(task_lib.GoalTask):
                fall_termination: bool = True,
                observable_options=None,
                prop_observable_options=None,
+               camera_observables=None,
                success_threshold: float = _ORIENTATION_THRESHOLD,
                successes_needed: int = _SUCCESSES_NEEDED,
                steps_before_changing_goal: int = _STEPS_BEFORE_MOVING_TARGET,
@@ -93,6 +94,7 @@ class ReOrient(task_lib.GoalTask):
     self._prop_obs = FreePropObservables(prop, prop_prefix,
                                          options=prop_observable_options)
     self._hand_prefix = hand_prefix
+    self._camera_obs = camera_observables
     self.set_timesteps(control_timestep, physics_timestep)
 
   @property
@@ -159,6 +161,8 @@ class ReOrient(task_lib.GoalTask):
     obs = self._hand_obs.as_dict(model, data)
     obs.update(self._prop_obs.as_dict(model, data))
     obs['goal_state'] = task_state.goal[:4]
+    if self._camera_obs is not None and self._camera_obs.enabled:
+      obs.update(self._camera_obs.as_dict(model, data))
     return obs
 
   def failure_termination(self, model, data):
@@ -199,6 +203,10 @@ def reorient_task(observation_set: observations.ObservationSet) -> ReOrient:
   del hint
   goal_generator = prop_orientation.PropOrientation(prop=prop,
                                                     prefix=prop_prefix)
+  # Closeup camera used for rendering / vision observables
+  # (reference: reorient.py:153-156).
+  camera_observables = cameras.add_camera_observables(
+      arena, observation_set.value, cameras.FRONT_CLOSE)
   return ReOrient(
       arena=arena, hand=hand, hand_effector=hand_effector,
       goal_generator=goal_generator, prop=prop,
@@ -206,7 +214,8 @@ def reorient_task(observation_set: observations.ObservationSet) -> ReOrient:
       observable_options=observations.make_options(
           observation_set.value, observations.HAND_OBSERVABLES),
       prop_observable_options=observations.make_options(
-          observation_set.value, _FREEPROP_OBSERVABLES))
+          observation_set.value, _FREEPROP_OBSERVABLES),
+      camera_observables=camera_observables)
 
 
 @SUITE.add(tags.STATE)

@@ -22,6 +22,45 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 BATCH_AXIS = 'batch'
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> bool:
+  """Initializes jax.distributed for multi-host meshes.
+
+  Arguments default to the standard environment variables
+  (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or the
+  cluster auto-detection jax.distributed supports on TPU pods).  Safe to
+  call in single-process runs: returns False without initializing when no
+  coordinator is configured, True once the cluster is up (idempotent).
+
+  Reference parity note: the reference is single-process (SURVEY.md §2.8);
+  this is the TPU-native multi-host entry point the sharded planners
+  (planners/distributed.py) ride on — after initialization,
+  `make_mesh()` sees every chip in the slice and the same shard_map code
+  runs collectives over ICI/DCN.
+  """
+  import os
+  coordinator = coordinator_address or os.environ.get(
+      'JAX_COORDINATOR_ADDRESS')
+  n_proc = num_processes if num_processes is not None else os.environ.get(
+      'JAX_NUM_PROCESSES')
+  pid = process_id if process_id is not None else os.environ.get(
+      'JAX_PROCESS_ID')
+  already = getattr(jax._src.distributed.global_state, 'client', None)
+  if already is not None:  # pragma: no cover - idempotence guard
+    return True
+  on_tpu_pod = jax.default_backend() == 'tpu' and os.environ.get(
+      'TPU_WORKER_HOSTNAMES')
+  if coordinator is None and not on_tpu_pod:
+    return False
+  kwargs = {}
+  if coordinator is not None:
+    kwargs = dict(coordinator_address=coordinator,
+                  num_processes=int(n_proc), process_id=int(pid))
+  jax.distributed.initialize(**kwargs)
+  return True
+
+
 def make_mesh(n_devices: Optional[int] = None,
               axis_name: str = BATCH_AXIS) -> Mesh:
   devices = jax.devices()

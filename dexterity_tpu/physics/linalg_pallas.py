@@ -126,15 +126,32 @@ def _batched_impl(h, g):
 
 
 @jax.custom_batching.custom_vmap
-def cholesky_solve(h: jax.Array, g: jax.Array) -> jax.Array:
-  """Solves H x = g for SPD H (n, n); batch via vmap hits the TPU kernel."""
+def _raw_cholesky_solve(h: jax.Array, g: jax.Array) -> jax.Array:
   return jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(h), g)
 
 
-@cholesky_solve.def_vmap
+@_raw_cholesky_solve.def_vmap
 def _cholesky_solve_vmap(axis_size, in_batched, h, g):
   h_b, g_b = in_batched
   if not (h_b and g_b):
     h = h if h_b else jnp.broadcast_to(h, (axis_size,) + h.shape)
     g = g if g_b else jnp.broadcast_to(g, (axis_size,) + g.shape)
   return _batched_impl(h, g), True
+
+
+def cholesky_solve(h: jax.Array, g: jax.Array) -> jax.Array:
+  """Solves H x = g for SPD H (n, n); batch via vmap hits the TPU kernel.
+
+  Wrapped in lax.custom_linear_solve so reverse-mode autodiff works
+  (custom_vmap alone is not differentiable — the iLQR planner
+  differentiates through the contact step): gradients are computed by
+  implicit differentiation, re-using this same solver for the cotangent
+  system (H symmetric).
+  """
+  def mv(x):
+    return h @ x
+
+  def solve_fn(_, b):
+    return _raw_cholesky_solve(h, b)
+
+  return jax.lax.custom_linear_solve(mv, g, solve=solve_fn, symmetric=True)

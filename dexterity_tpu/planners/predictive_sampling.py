@@ -117,8 +117,12 @@ class PredictiveSampling:
       r = jnp.where(alive, r, 0.0)
       return (d, alive), r
 
+    # `alive` starts True but must inherit data's varying-axes metadata so
+    # the scan carry typechecks inside shard_map population sharding
+    # (where failure_termination makes the carry shard-varying).
+    alive0 = jnp.asarray(True) | (data.qpos[0] != data.qpos[0])
     (_, _), rewards = jax.lax.scan(
-        control_step, (data, jnp.asarray(True)), actions)
+        control_step, (data, alive0), actions)
     return jnp.sum(rewards)
 
   def solve(self, data: T.Data, goal: jax.Array, pstate: PlannerState,

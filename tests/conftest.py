@@ -7,6 +7,10 @@ tests silently run on the tunneled TPU (slow remote compiles, no real f64).
 
 import os
 
+# Headless rendering backend for vision-observable tests (must be set
+# before mujoco loads an OpenGL platform library).
+os.environ.setdefault('MUJOCO_GL', 'egl')
+
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
   # Virtual 8-device CPU mesh for multi-chip sharding tests (SURVEY.md §4).

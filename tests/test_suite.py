@@ -149,3 +149,27 @@ def test_unsupported_observable_options_raise():
       observations.ObservationSet.STATE_ONLY.value.proprio, buffer_size=4)
   with pytest.raises(NotImplementedError):
     HandObservables(None, 'h/', options={'joint_positions': bad})
+
+
+def test_vision_preset_returns_pixels():
+  """VISION_ONLY realizes camera observables as (84,84,3) uint8 pixels
+  (reference: shared/cameras.py:53-64, observations.py VISION preset)."""
+  pytest.importorskip('mujoco')
+  from dexterity_tpu.manipulation.shared import observations
+  from dexterity_tpu.manipulation.tasks import reach
+
+  task = reach.reach_task(
+      observation_set=observations.ObservationSet.VISION_ONLY,
+      use_dense_reward=True)
+  env = manipulation._environment.GoalEnvironment(task)
+  reset, step = jax.jit(env.reset), jax.jit(env.step)
+  state, ts = reset(jax.random.PRNGKey(0))
+  img = ts.observation['front_close']
+  assert img.shape == (84, 84, 3)
+  assert img.dtype == jnp.uint8
+  assert int(np.asarray(img).max()) > 0  # not all black
+  # Privileged proprio must be absent under VISION_ONLY.
+  assert 'adroit_hand/joint_velocities' not in ts.observation
+  assert 'adroit_hand/joint_positions_sin_cos' in ts.observation
+  state, ts = step(state, jnp.zeros(env.action_spec().shape[0]))
+  assert ts.observation['front_close'].shape == (84, 84, 3)
