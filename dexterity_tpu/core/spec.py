@@ -189,6 +189,10 @@ class EqualitySpec:
   solref: Tuple[float, float] = _DEFAULT_SOLREF
   solimp: Tuple[float, ...] = _DEFAULT_SOLIMP
   active: bool = True
+  # CONNECT only: derive data[3:6] (the body2-frame coordinates of the
+  # anchor point) from the qpos0 pose at compile time (MuJoCo compiler
+  # behavior for <connect anchor=...>).
+  resolve_at_compile: bool = False
 
 
 @dataclasses.dataclass
@@ -472,8 +476,25 @@ class ModelSpec:
         actuator_trnid.append(ten_index[a.target])
 
     # --- equalities ----------------------------------------------------------
+    # qpos0 world poses (joints contribute identity at the reference
+    # configuration; free-body qpos0 equals the local pose), used to resolve
+    # the compile-time parts of CONNECT/WELD data like MuJoCo's compiler.
+    def _qpos0_world_poses():
+      xpos = [np.zeros(3)]
+      xquat = [np.array([1.0, 0, 0, 0])]
+      for bi, b in enumerate(bodies[1:], start=1):
+        pp, pq = xpos[body_parentid[bi]], xquat[body_parentid[bi]]
+        q = np.asarray(b.quat, np.float64)
+        q = q / max(np.linalg.norm(q), 1e-15)
+        xpos.append(pp + _np_quat_rotate(pq, np.asarray(b.pos, np.float64)))
+        xquat.append(_np_quat_mul(pq, q))
+      return xpos, xquat
+
     eq_obj1, eq_obj2 = [], []
+    eq_data_rows = []
+    poses0 = None
     for e in self.equalities:
+      data = np.array(e.data, np.float64, copy=True)
       if e.type == EqType.JOINT:
         eq_obj1.append(jnt_index[e.obj1])
         eq_obj2.append(jnt_index[e.obj2] if e.obj2 else -1)
@@ -481,8 +502,29 @@ class ModelSpec:
         eq_obj1.append(ten_index[e.obj1])
         eq_obj2.append(ten_index[e.obj2] if e.obj2 else -1)
       else:  # CONNECT / WELD reference bodies
-        eq_obj1.append(body_index[e.obj1])
-        eq_obj2.append(body_index[e.obj2] if e.obj2 else 0)
+        b1 = body_index[e.obj1]
+        b2 = body_index[e.obj2] if e.obj2 else 0
+        eq_obj1.append(b1)
+        eq_obj2.append(b2)
+        if poses0 is None:
+          poses0 = _qpos0_world_poses()
+        xp, xq = poses0
+        if e.type == EqType.WELD:
+          if data[10] == 0.0:
+            data[10] = 1.0  # MuJoCo torquescale default
+          if np.allclose(data[6:10], 0.0):
+            # Zero relpose quaternion: use the qpos0 relative pose
+            # (MuJoCo <weld relpose> default semantics).
+            q1, q2 = xq[b1], xq[b2]
+            data[6:10] = _np_quat_mul(_np_quat_conj(q1), q2)
+            p2w = xp[b2] + _np_quat_rotate(q2, data[0:3])
+            data[3:6] = _np_quat_rotate(_np_quat_conj(q1), p2w - xp[b1])
+          else:
+            data[6:10] = data[6:10] / np.linalg.norm(data[6:10])
+        elif e.resolve_at_compile:  # CONNECT <anchor> from XML
+          p1w = xp[b1] + _np_quat_rotate(xq[b1], data[0:3])
+          data[3:6] = _np_quat_rotate(_np_quat_conj(xq[b2]), p1w - xp[b2])
+      eq_data_rows.append(data)
 
     # --- contact pairs (static broad phase) --------------------------------
     pair_list = self._make_pairs(bodies, body_index, body_parentid, geoms,
@@ -573,7 +615,8 @@ class ModelSpec:
         tendon_solref=fa(self.tendons, 'solref', 2),
         tendon_solimp=fa(self.tendons, 'solimp', 5),
         tendon_margin=fa(self.tendons, 'margin'),
-        eq_data=fa(self.equalities, 'data', 11),
+        eq_data=(jnp.asarray(np.stack(eq_data_rows))
+                 if eq_data_rows else jnp.zeros((0, 11))),
         eq_solref=fa(self.equalities, 'solref', 2),
         eq_solimp=fa(self.equalities, 'solimp', 5),
         pair_friction=jnp.asarray(
@@ -712,6 +755,18 @@ def _find_parent(root: BodySpec, target: BodySpec) -> BodySpec:
 def _pose_mul_np(pos_a, quat_a, pos_b, quat_b):
   ra = _quat_to_mat_np(quat_a)
   return pos_a + ra @ pos_b, _quat_mul_np(quat_a, quat_b)
+
+
+def _np_quat_mul(a, b):
+  return _quat_mul_np(a, b)
+
+
+def _np_quat_conj(q):
+  return np.array([q[0], -q[1], -q[2], -q[3]])
+
+
+def _np_quat_rotate(q, v):
+  return _quat_to_mat_np(q) @ np.asarray(v, np.float64)
 
 
 def _quat_mul_np(a, b):

@@ -459,11 +459,28 @@ class MjcfParser:
             obj2=child.get('tendon2', ''), data=data,
             solref=solref, solimp=solimp))
       elif child.tag == 'weld':
+        # MuJoCo weld data layout: [anchor(3, body2 frame), relpose(3+4,
+        # body1 frame; zero quat = resolve at qpos0), torquescale].
+        data = np.zeros(11)
+        data[0:3] = _floats(child.get('anchor', '0 0 0'))
+        data[3:10] = _floats(child.get('relpose', '0 0 0 0 0 0 0'))
+        data[10] = float(child.get('torquescale', '1'))
         self.spec.equalities.append(S.EqualitySpec(
             name=child.get('name', f'eq{len(self.spec.equalities)}'),
             type=EqType.WELD, obj1=child.get('body1'),
             obj2=child.get('body2', ''), data=data,
             solref=solref, solimp=solimp))
+      elif child.tag == 'connect':
+        # data[0:3] = anchor in body1 frame; data[3:6] (the body2-side
+        # point) is resolved at compile time from the qpos0 pose.
+        data = np.zeros(11)
+        data[0:3] = _floats(child.get('anchor', '0 0 0'))
+        data[10] = 1.0  # MuJoCo writes the torquescale default regardless
+        self.spec.equalities.append(S.EqualitySpec(
+            name=child.get('name', f'eq{len(self.spec.equalities)}'),
+            type=EqType.CONNECT, obj1=child.get('body1'),
+            obj2=child.get('body2', ''), data=data,
+            solref=solref, solimp=solimp, resolve_at_compile=True))
       else:
         raise NotImplementedError(f'equality <{child.tag}> unsupported')
 
@@ -484,4 +501,13 @@ def _z_align_quat(z: np.ndarray) -> np.ndarray:
 
 def load_mjcf(path: str, **kw) -> S.ModelSpec:
   """Parses an MJCF file into a ModelSpec."""
+  return MjcfParser(path, **kw).parse()
+
+
+def load_mjcf_string(xml: str, **kw) -> S.ModelSpec:
+  """Parses an MJCF XML string into a ModelSpec."""
+  import tempfile
+  with tempfile.NamedTemporaryFile('w', suffix='.xml', delete=False) as f:
+    f.write(xml)
+    path = f.name
   return MjcfParser(path, **kw).parse()

@@ -262,17 +262,51 @@ def _bounding_radius(model: Model) -> np.ndarray:
   return out
 
 
+def _tangent_frame_soa(n):
+  """SoA tangent frame: normal planes -> (t1, t2) plane triples.
+
+  Same reference-axis choice as _tangent_frame (|nx| < 0.5 picks x else y),
+  written component-wise so no trailing-dim-3 arrays materialize.
+  """
+  from dexterity_tpu.physics.collision import soa
+  nx, ny, nz = n
+  cond = jnp.abs(nx) < 0.5
+  refx = jnp.where(cond, 1.0, 0.0)
+  refy = jnp.where(cond, 0.0, 1.0)
+  refz = jnp.zeros_like(nx)
+  t1 = soa.cross(n, (refx, refy, refz))
+  inv = 1.0 / jnp.maximum(jnp.sqrt(jnp.maximum(soa.dot(t1, t1), 0.0)),
+                          1e-12)
+  t1 = soa.scale(t1, inv)
+  t2 = soa.cross(n, t1)
+  return t1, t2
+
+
 def collide_all(model: Model, data: Data) -> Data:
-  """Midphase (bounding-sphere top-M per type group) + narrow phase."""
+  """Narrow phase over candidate pairs, optionally midphase-capped.
+
+  TPU layout strategy: all per-pair inputs are built as component planes
+  (one (npairs,) array per scalar) gathered from 12 per-geom planes, so the
+  only arrays with a trailing dim of 3/9 are the per-geom splits (ngeom
+  small) and the final Contact pos/frame stacks — everything pair-sized is
+  elementwise VPU work.  Geom sizes are static (taken from the host copy of
+  the model), so half of the old per-pair gathers disappear entirely.
+  """
   groups, total_rows = _pair_groups(model)
   dtype = data.qpos.dtype
   radius = _bounding_radius(model)
+  size_np = np.asarray(jax.device_get(model.geom_size))
 
-  dists, poss, frames, pair_ids = [], [], [], []
-  for (t1, t2), grp in groups.items():
-    if (t1, t2) not in _KERNELS:
-      raise NotImplementedError(f'no collision kernel for {t1} vs {t2}')
-    fn, k = _KERNELS[(t1, t2)]
+  from dexterity_tpu.physics.collision import soa
+  # Per-geom component planes (ngeom,).
+  gpos = tuple(data.geom_xpos[:, c] for c in range(3))
+  gmat = tuple(data.geom_xmat[:, i, j] for i in range(3) for j in range(3))
+
+  d_pl, pos_pl, n_pl, t1_pl, t2_pl, pair_ids = [], [], [], [], [], []
+  for (t1g, t2g), grp in groups.items():
+    if (t1g, t2g) not in _KERNELS:
+      raise NotImplementedError(f'no collision kernel for {t1g} vs {t2g}')
+    fn, k = _KERNELS[(t1g, t2g)]
     m = grp['m']
     g1 = np.asarray(grp['g1'], np.int32)
     g2 = np.asarray(grp['g2'], np.int32)
@@ -280,54 +314,68 @@ def collide_all(model: Model, data: Data) -> Data:
     n = len(g1)
 
     if m < n:
-      # Cheap conservative pair distance (sphere-sphere; plane uses the
-      # true plane halfspace distance).
-      c1 = data.geom_xpos[g1]
-      c2 = data.geom_xpos[g2]
+      # Cheap conservative pair distance (bounding spheres; planes use the
+      # true halfspace distance), then per-env top-m selection.
+      c1 = tuple(gpos[c][g1] for c in range(3))
+      c2 = tuple(gpos[c][g2] for c in range(3))
+      delta = soa.sub(c2, c1)
       r2 = jnp.asarray(radius[g2], dtype)
-      if t1 == GeomType.PLANE:
-        normal = data.geom_xmat[g1][:, :, 2]
-        score = jnp.einsum('pi,pi->p', c2 - c1, normal) - r2
+      if t1g == GeomType.PLANE:
+        nrm1 = tuple(gmat[3 * c + 2][g1] for c in range(3))  # col 2
+        score = soa.dot(delta, nrm1) - r2
       else:
         r1 = jnp.asarray(radius[g1], dtype)
-        score = jnp.linalg.norm(c2 - c1, axis=1) - r1 - r2
+        score = jnp.sqrt(jnp.maximum(soa.dot(delta, delta), 0.0)) - r1 - r2
       _, sel = jax.lax.top_k(-score, m)
       gg1 = jnp.asarray(g1)[sel]
       gg2 = jnp.asarray(g2)[sel]
       pid = jnp.asarray(pair_np)[sel]
+      p1 = tuple(gpos[c][gg1] for c in range(3))
+      p2 = tuple(gpos[c][gg2] for c in range(3))
+      m1_ = tuple(gmat[c][gg1] for c in range(9))
+      m2_ = tuple(gmat[c][gg2] for c in range(9))
+      s1 = tuple(jnp.asarray(size_np[:, c], dtype)[gg1] for c in range(3))
+      s2 = tuple(jnp.asarray(size_np[:, c], dtype)[gg2] for c in range(3))
     else:
+      # Exhaustive group: every gather is static and sizes are constants.
       # Tie the constant ids to the data so sharding/varying types stay
       # uniform across scan carries (no-op add outside shard_map).
       vary_zero = (data.qpos[0] * 0).astype(jnp.int32)
-      gg1, gg2 = jnp.asarray(g1), jnp.asarray(g2)
       pid = jnp.asarray(pair_np) + vary_zero
+      p1 = tuple(gpos[c][g1] for c in range(3))
+      p2 = tuple(gpos[c][g2] for c in range(3))
+      m1_ = tuple(gmat[c][g1] for c in range(9))
+      m2_ = tuple(gmat[c][g2] for c in range(9))
+      s1 = tuple(jnp.asarray(size_np[g1, c], dtype) for c in range(3))
+      s2 = tuple(jnp.asarray(size_np[g2, c], dtype) for c in range(3))
 
-    # SoA kernels: component-plane math over the pair axis (soa.py).
-    from dexterity_tpu.physics.collision import soa
-    sfn, sk = soa.KERNELS[(t1, t2)]
+    sfn, sk = soa.KERNELS[(t1g, t2g)]
     assert sk == k
-    p1 = soa.vec3(data.geom_xpos[gg1])
-    m1_ = soa.mat3(data.geom_xmat[gg1])
-    s1 = soa.vec3(model.geom_size[gg1])
-    p2 = soa.vec3(data.geom_xpos[gg2])
-    m2_ = soa.mat3(data.geom_xmat[gg2])
-    s2 = soa.vec3(model.geom_size[gg2])
     d, p, nrm = sfn(p1, m1_, s1, p2, m2_, s2)          # (k, m) planes
-    dists.append(d.reshape(-1))
-    poss.append(soa.stack_v3(p).reshape(-1, 3))
-    frames.append(_tangent_frame(soa.stack_v3(nrm).reshape(-1, 3)))
+    tt1, tt2 = _tangent_frame_soa(nrm)
+    d_pl.append(d.reshape(-1))
+    pos_pl.append(tuple(c.reshape(-1) for c in p))
+    n_pl.append(tuple(c.reshape(-1) for c in nrm))
+    t1_pl.append(tuple(c.reshape(-1) for c in tt1))
+    t2_pl.append(tuple(c.reshape(-1) for c in tt2))
     pair_ids.append(jnp.tile(pid, k))
 
-  if not dists:
+  if not d_pl:
     contact = Contact(dist=jnp.full((1,), _BIG, dtype),
                       pos=jnp.zeros((1, 3), dtype),
                       frame=jnp.eye(3, dtype=dtype)[None],
                       pair=-jnp.ones((1,), jnp.int32))
     return data.replace(contact=contact)
 
-  contact = Contact(dist=jnp.concatenate(dists),
-                    pos=jnp.concatenate(poss),
-                    frame=jnp.concatenate(frames),
+  def cat(plane_tuples, c):
+    return jnp.concatenate([t[c] for t in plane_tuples])
+
+  pos = jnp.stack([cat(pos_pl, c) for c in range(3)], axis=-1)
+  frame = jnp.stack(
+      [jnp.stack([cat(pl, c) for c in range(3)], axis=-1)
+       for pl in (n_pl, t1_pl, t2_pl)], axis=-2)       # (rows, 3, 3)
+  contact = Contact(dist=jnp.concatenate(d_pl),
+                    pos=pos, frame=frame,
                     pair=jnp.concatenate(pair_ids).astype(jnp.int32))
   assert contact.dist.shape[0] == total_rows == num_contact_points(model)
   return data.replace(contact=contact)

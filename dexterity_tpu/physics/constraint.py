@@ -92,9 +92,118 @@ def _kbi(solref: jax.Array, solimp: jax.Array, r: jax.Array, vel: jax.Array,
   return d, aref
 
 
+def _kbi_shared(solref, solimp, r_imp, r, vel, timestep):
+  """Like _kbi but the impedance argument (r_imp, e.g. a multi-row
+  residual norm) differs from the per-row stiffness residual r —
+  MuJoCo's convention for CONNECT/WELD equalities."""
+  d = impedance(solimp, r_imp)
+  dmax = solimp[..., 1]
+  tc, dr = solref[..., 0], solref[..., 1]
+  tc = jnp.maximum(tc, 2.0 * timestep)
+  direct = solref[..., 0] <= 0
+  b_std = 2.0 / jnp.maximum(dmax * tc, 1e-12)
+  k_std = d / jnp.maximum(dmax * dmax * tc * tc * dr * dr, 1e-12)
+  b = jnp.where(direct, -solref[..., 1], b_std)
+  k = jnp.where(direct, -solref[..., 0] * d, k_std)
+  return d, -b * vel - k * r
+
+
 # ---------------------------------------------------------------------------
 # Row assembly
 # ---------------------------------------------------------------------------
+
+
+def _cw_geom(model: Model, data: Data, ei: int, etype: EqType, dtype):
+  """CONNECT/WELD rows: (J (k,nv), res (k,)) with k=3 (connect) or 6 (weld).
+
+  MuJoCo data layout (verified numerically against mjData.efc_* with
+  nonzero anchor/relpose, see tests/test_weld_mocap.py):
+    CONNECT: data[0:3] anchor in body1 frame; data[3:6] the same point in
+      body2 frame (resolved at compile).
+    WELD: data[0:3] anchor in body2 frame; data[3:6] body1-frame point
+      (relpose position); data[6:10] relpose quat; data[10] torquescale.
+  """
+  from dexterity_tpu.physics import math as tmath
+  data_e = model.eq_data[ei]
+  b1 = model.eq_obj1[ei]
+  b2 = model.eq_obj2[ei]
+  q1 = data.xquat[b1]
+  q2 = data.xquat[b2]
+  if etype == EqType.CONNECT:
+    a1, a2 = data_e[0:3], data_e[3:6]
+  else:
+    a1, a2 = data_e[3:6], data_e[0:3]
+  p1 = data.xpos[b1] + tmath.quat_rotate(q1, a1.astype(dtype))
+  p2 = data.xpos[b2] + tmath.quat_rotate(q2, a2.astype(dtype))
+  jac1p, jac1r = kinematics.jac_point(model, data, b1, p1)
+  jac2p, jac2r = kinematics.jac_point(model, data, b2, p2)
+  res_p = p1 - p2
+  jrows = jac1p - jac2p                           # (3, nv)
+  if etype == EqType.CONNECT:
+    return jrows, res_p
+  # Rotation residual: torquescale * vec(q2^-1 q1 qrel); its velocity
+  # Jacobian is ts * 0.5 (e_w I - [e_vec]x) R2^T (jacr1 - jacr2).
+  ts = jnp.where(data_e[10] > 0, data_e[10], 1.0).astype(dtype)
+  qrel = data_e[6:10].astype(dtype)
+  qrel = qrel / jnp.maximum(jnp.linalg.norm(qrel), 1e-15)
+  e_q = tmath.quat_mul(tmath.quat_mul(tmath.quat_inv(q2), q1), qrel)
+  res_r = ts * e_q[1:]
+  e_w, e_v = e_q[0], e_q[1:]
+  skew = jnp.array([[0.0, -e_v[2], e_v[1]],
+                    [e_v[2], 0.0, -e_v[0]],
+                    [-e_v[1], e_v[0], 0.0]], dtype=dtype)
+  r2t = tmath.quat_to_mat(q2).T
+  gmat = 0.5 * (e_w * jnp.eye(3, dtype=dtype) - skew) @ r2t
+  jrot = ts * (gmat @ (jac1r - jac2r))            # (3, nv)
+  return jnp.concatenate([jrows, jrot]), jnp.concatenate([res_p, res_r])
+
+
+def _qpos_tangent(model: Model, qpos: jax.Array, qvel: jax.Array,
+                  dtype) -> jax.Array:
+  """Exact d(qpos)/dt given qvel: the tangent map of mj_integratePos at
+  dt → 0 (quaternion joints: q̇ = ½ q ⊗ (0, ω_local))."""
+  from dexterity_tpu.physics import math as tmath
+  out = jnp.zeros_like(qpos)
+  types = np.asarray(model.jnt_type)
+  scalar = np.where((types == int(JointType.HINGE))
+                    | (types == int(JointType.SLIDE)))[0]
+  if len(scalar):
+    qadr = np.asarray([model.jnt_qposadr[j] for j in scalar])
+    dadr = np.asarray([model.jnt_dofadr[j] for j in scalar])
+    out = out.at[qadr].set(qvel[dadr])
+  def _qdot(q, omega):
+    return 0.5 * tmath.quat_mul(q, jnp.concatenate(
+        [jnp.zeros((1,), dtype), omega]))
+  for ji in np.where(types == int(JointType.BALL))[0]:
+    qadr, dadr = model.jnt_qposadr[ji], model.jnt_dofadr[ji]
+    out = out.at[qadr:qadr + 4].set(
+        _qdot(qpos[qadr:qadr + 4], qvel[dadr:dadr + 3]))
+  for ji in np.where(types == int(JointType.FREE))[0]:
+    qadr, dadr = model.jnt_qposadr[ji], model.jnt_dofadr[ji]
+    out = out.at[qadr:qadr + 3].set(qvel[dadr:dadr + 3])
+    out = out.at[qadr + 3:qadr + 7].set(
+        _qdot(qpos[qadr + 3:qadr + 7], qvel[dadr + 3:dadr + 6]))
+  return out
+
+
+def _cw_jdot_qvel(model: Model, data: Data, cw: list, dtype) -> jax.Array:
+  """J̇q̇ for all CONNECT/WELD rows (concatenated, eq order), via a jvp
+  through FK: MuJoCo's equality aref subtracts this bias so the row's
+  *true* residual acceleration (J q̈ + J̇q̇) tracks -b·vel - k·res
+  (verified exact against mjData.efc_aref; see tests/test_weld_mocap.py)."""
+  qvel = data.qvel
+
+  def rowvels(qpos):
+    d2 = kinematics.fwd_position(model, data.replace(qpos=qpos))
+    outs = []
+    for ei, etype in cw:
+      jrows, _ = _cw_geom(model, d2, ei, etype, dtype)
+      outs.append(jrows @ qvel)
+    return jnp.concatenate(outs)
+
+  qdot = _qpos_tangent(model, data.qpos, qvel, dtype)
+  _, jdq = jax.jvp(rowvels, (data.qpos,), (qdot,))
+  return jdq
 
 
 def _eq_rows(model: Model, data: Data, dtype):
@@ -103,6 +212,10 @@ def _eq_rows(model: Model, data: Data, dtype):
   js, refs, ds, iws, trans = [], [], [], [], []
   h = model.opt.timestep
   dof_qposadr = kinematics._dof_qposadr(model)
+  cw = [(ei, EqType(model.eq_type[ei])) for ei in range(model.neq)
+        if EqType(model.eq_type[ei]) in (EqType.CONNECT, EqType.WELD)]
+  jdq_all = _cw_jdot_qvel(model, data, cw, dtype) if cw else None
+  cw_off = 0
   for ei in range(model.neq):
     etype = EqType(model.eq_type[ei])
     solref = model.eq_solref[ei]
@@ -168,43 +281,24 @@ def _eq_rows(model: Model, data: Data, dtype):
     elif etype in (EqType.CONNECT, EqType.WELD):
       b1 = model.eq_obj1[ei]
       b2 = model.eq_obj2[ei]
-      # Anchor: eq_data[0:3] in body1 frame (our convention: world offset
-      # when zero).  For mocap welds the anchor is the body1 frame origin.
-      anchor1 = data.xpos[b1]  # body1 frame origin
-      anchor2 = data.xpos[b2]
-      jac1p, jac1r = kinematics.jac_point(model, data, b1, anchor1)
-      jac2p, jac2r = kinematics.jac_point(model, data, b2, anchor1)
-      res_p = anchor1 - anchor2
-      jrows = jac1p - jac2p                       # (3, nv)
-      vel_p = jrows @ data.qvel
-      iw = (model.body_invweight0[b1, 0] + model.body_invweight0[b2, 0])
-      for a in range(3):
-        dd, aref = _kbi(solref, solimp, res_p[a], vel_p[a], h)
+      k = 3 if etype == EqType.CONNECT else 6
+      jrows, res = _cw_geom(model, data, ei, etype, dtype)
+      vel = jrows @ data.qvel
+      jdq = jdq_all[cw_off:cw_off + k]
+      cw_off += k
+      # MuJoCo evaluates the impedance once per equality, at the norm of
+      # the full residual (all 3 or 6 rows), not per row; and its aref
+      # subtracts the J̇q̇ bias so the true residual acceleration is servoed.
+      r_norm = jnp.linalg.norm(res)
+      iw_p = (model.body_invweight0[b1, 0] + model.body_invweight0[b2, 0])
+      iw_r = (model.body_invweight0[b1, 1] + model.body_invweight0[b2, 1])
+      for a in range(k):
+        dd, aref = _kbi_shared(solref, solimp, r_norm, res[a], vel[a], h)
         js.append(jrows[a])
-        refs.append(aref)
+        refs.append(aref - jdq[a])
         ds.append(dd)
-        iws.append(iw)
+        iws.append(iw_p if a < 3 else iw_r)
         trans.append(False)
-      if etype == EqType.WELD:
-        from dexterity_tpu.physics import math as tmath
-        # Orientation residual: rotation vector of q1^-1 q2 (relpose id).
-        qrel = tmath.quat_mul(tmath.quat_inv(data.xquat[b2]),
-                              data.xquat[b1])
-        res_r = tmath.quat_to_axis_angle(qrel)
-        # World-frame rotational jacobian difference.
-        jrot = jac1r - jac2r                      # (3, nv)
-        vel_r = jrot @ data.qvel
-        iw_r = (model.body_invweight0[b1, 1] + model.body_invweight0[b2, 1])
-        torquescale = jnp.where(model.eq_data[ei, 10] > 0,
-                                model.eq_data[ei, 10], 1.0)
-        for a in range(3):
-          dd, aref = _kbi(solref, solimp, res_r[a] * torquescale,
-                          vel_r[a] * torquescale, h)
-          js.append(jrot[a] * torquescale)
-          refs.append(aref)
-          ds.append(dd)
-          iws.append(iw_r / jnp.maximum(torquescale ** 2, 1e-12))
-          trans.append(False)
     else:
       raise NotImplementedError(etype)
   return js, refs, ds, iws, trans
