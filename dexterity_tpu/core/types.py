@@ -229,16 +229,35 @@ class Model:
     return names.index(name)
 
 
+# Row indices of Contact.param (one (npoint,) plane per scalar parameter).
+PARAM_MARGIN = 0
+PARAM_SOLREF = slice(1, 3)
+PARAM_SOLIMP = slice(3, 8)
+PARAM_FRICTION = slice(8, 11)
+PARAM_CONDIM = 11
+PARAM_BODY1 = 12
+PARAM_BODY2 = 13
+PARAM_IW = 14          # body_invweight0[b1, 0] + body_invweight0[b2, 0]
+NPARAM = 15
+
+
 @pytree_dataclass
 class Contact:
-  """Static-shape batch of contact points.
+  """Static-shape contact slots in component-plane (SoA) layout.
 
-  With the midphase (Option.midphase_cap > 0) the pair occupying each slot
-  is dynamic; `pair` carries the candidate-pair index per slot."""
+  TPU layout rule: nothing pair-sized carries a trailing dim of 3/9 — each
+  scalar component is its own (npoint,) plane, so downstream math stays
+  elementwise over the lane-sized slot axis and XLA never relayouts tiny
+  minor dims.  With the midphase (Option.midphase_cap > 0) the pair
+  occupying a slot is dynamic, so every per-pair parameter the constraint
+  stage needs rides along as a `param` plane (selected by the same one-hot
+  contraction as the geometry — no per-slot parameter gathers later).
+  """
   dist: jax.Array      # (npoint,) signed distance (penetration < 0)
-  pos: jax.Array       # (npoint, 3) midpoint position
-  frame: jax.Array     # (npoint, 3, 3) rows: normal, tangent1, tangent2
+  pos: jax.Array       # (3, npoint) midpoint position planes
+  frame: jax.Array     # (9, npoint) planes: normal, tangent1, tangent2
   pair: jax.Array      # (npoint,) int32 candidate-pair index (-1 unused)
+  param: jax.Array     # (NPARAM, npoint) per-slot pair parameters
 
 
 @pytree_dataclass
@@ -331,9 +350,12 @@ def make_data(model: Model, dtype=None) -> Data:
       actuator_length=z(nu), actuator_velocity=z(nu), actuator_force=z(nu),
       contact=Contact(
           dist=jnp.full((npoint,), 1e10, dtype=dtype),
-          pos=z(npoint, 3),
-          frame=jnp.tile(jnp.eye(3, dtype=dtype), (npoint, 1, 1)),
+          pos=z(3, npoint),
+          frame=jnp.broadcast_to(
+              jnp.asarray(np.eye(3).reshape(9, 1), dtype=dtype),
+              (9, npoint)),
           pair=-jnp.ones((npoint,), jnp.int32),
+          param=z(NPARAM, npoint),
       ),
   )
 

@@ -282,43 +282,95 @@ def _tangent_frame_soa(n):
   return t1, t2
 
 
+def _pair_param_planes(model: Model, pair_idx: np.ndarray) -> np.ndarray:
+  """Static (NPARAM, n) parameter table for candidate pairs `pair_idx`.
+
+  Everything the constraint stage needs per contact (margin, solref,
+  solimp, friction, condim, body ids, invweight sum) as host-side
+  constants, in KERNEL geom order.
+  """
+  from dexterity_tpu.core import types as T
+  host = lambda a: np.asarray(jax.device_get(a))
+  pg1, pg2 = pair_kernel_geoms(model)
+  gb = np.asarray(model.geom_bodyid)
+  b1 = gb[pg1[pair_idx]]
+  b2 = gb[pg2[pair_idx]]
+  iw0 = host(model.body_invweight0)
+  out = np.zeros((T.NPARAM, len(pair_idx)))
+  out[T.PARAM_MARGIN] = host(model.pair_margin)[pair_idx]
+  out[T.PARAM_SOLREF] = host(model.pair_solref)[pair_idx].T
+  out[T.PARAM_SOLIMP] = host(model.pair_solimp)[pair_idx].T
+  out[T.PARAM_FRICTION] = host(model.pair_friction)[pair_idx].T
+  out[T.PARAM_CONDIM] = np.asarray(model.pair_condim)[pair_idx]
+  out[T.PARAM_BODY1] = b1
+  out[T.PARAM_BODY2] = b2
+  out[T.PARAM_IW] = iw0[b1, 0] + iw0[b2, 0]
+  return out
+
+
+def onehot_select(sel: jax.Array, planes: jax.Array) -> jax.Array:
+  """Selects columns of `planes` (p, n) at indices `sel` (k,) -> (p, k).
+
+  Implemented as a one-hot contraction rather than a gather: each row of
+  the selection matrix has exactly one nonzero, so the matmul result is an
+  exact copy of the selected column, but it runs on the MXU instead of the
+  scalar core (per-env dynamic gathers cost ~10 cycles/element on TPU and
+  dominated the round-1 substep profile).  precision=HIGHEST keeps f32
+  operands exact through the MXU passes.
+  """
+  n = planes.shape[-1]
+  s = (sel[:, None] == jnp.arange(n)[None, :]).astype(planes.dtype)
+  return jnp.einsum('kn,pn->pk', s, planes,
+                    precision=jax.lax.Precision.HIGHEST)
+
+
 def collide_all(model: Model, data: Data) -> Data:
   """Narrow phase over candidate pairs, optionally midphase-capped.
 
-  TPU layout strategy: all per-pair inputs are built as component planes
-  (one (npairs,) array per scalar) gathered from 12 per-geom planes, so the
-  only arrays with a trailing dim of 3/9 are the per-geom splits (ngeom
-  small) and the final Contact pos/frame stacks — everything pair-sized is
-  elementwise VPU work.  Geom sizes are static (taken from the host copy of
-  the model), so half of the old per-pair gathers disappear entirely.
+  TPU layout strategy: all per-pair inputs are component planes (one
+  (npairs,) array per scalar) built by static constant-index gathers from
+  12 per-geom planes; the midphase top-m selection is a one-hot MXU
+  contraction (onehot_select), never a per-env dynamic gather.  Per-slot
+  pair parameters ride along through the same selection and are stored in
+  Contact.param so the constraint stage needs no pair lookups at all.
   """
   groups, total_rows = _pair_groups(model)
   dtype = data.qpos.dtype
   radius = _bounding_radius(model)
   size_np = np.asarray(jax.device_get(model.geom_size))
 
+  from dexterity_tpu.core import types as T
   from dexterity_tpu.physics.collision import soa
   # Per-geom component planes (ngeom,).
   gpos = tuple(data.geom_xpos[:, c] for c in range(3))
   gmat = tuple(data.geom_xmat[:, i, j] for i in range(3) for j in range(3))
+  # Non-constant zero tied to the data: keeps constant-derived planes
+  # varying-type-uniform across scan carries under shard_map.
+  vary_zero = data.qpos[0] * 0
 
-  d_pl, pos_pl, n_pl, t1_pl, t2_pl, pair_ids = [], [], [], [], [], []
+  d_pl, pos_pl, n_pl, t1_pl, t2_pl = [], [], [], [], []
+  pair_ids, par_pl = [], []
   for (t1g, t2g), grp in groups.items():
     if (t1g, t2g) not in _KERNELS:
       raise NotImplementedError(f'no collision kernel for {t1g} vs {t2g}')
-    fn, k = _KERNELS[(t1g, t2g)]
+    _, k = _KERNELS[(t1g, t2g)]
     m = grp['m']
     g1 = np.asarray(grp['g1'], np.int32)
     g2 = np.asarray(grp['g2'], np.int32)
     pair_np = np.asarray(grp['pair'], np.int32)
     n = len(g1)
+    params_np = _pair_param_planes(model, pair_np)      # (NPARAM, n)
+
+    # Full-width pair payload (static constant-index gathers; cheap).
+    p1 = tuple(gpos[c][g1] for c in range(3))
+    p2 = tuple(gpos[c][g2] for c in range(3))
+    m1_ = tuple(gmat[c][g1] for c in range(9))
+    m2_ = tuple(gmat[c][g2] for c in range(9))
 
     if m < n:
       # Cheap conservative pair distance (bounding spheres; planes use the
-      # true halfspace distance), then per-env top-m selection.
-      c1 = tuple(gpos[c][g1] for c in range(3))
-      c2 = tuple(gpos[c][g2] for c in range(3))
-      delta = soa.sub(c2, c1)
+      # true halfspace distance), then per-env top-m one-hot selection.
+      delta = soa.sub(p2, p1)
       r2 = jnp.asarray(radius[g2], dtype)
       if t1g == GeomType.PLANE:
         nrm1 = tuple(gmat[3 * c + 2][g1] for c in range(3))  # col 2
@@ -327,27 +379,24 @@ def collide_all(model: Model, data: Data) -> Data:
         r1 = jnp.asarray(radius[g1], dtype)
         score = jnp.sqrt(jnp.maximum(soa.dot(delta, delta), 0.0)) - r1 - r2
       _, sel = jax.lax.top_k(-score, m)
-      gg1 = jnp.asarray(g1)[sel]
-      gg2 = jnp.asarray(g2)[sel]
-      pid = jnp.asarray(pair_np)[sel]
-      p1 = tuple(gpos[c][gg1] for c in range(3))
-      p2 = tuple(gpos[c][gg2] for c in range(3))
-      m1_ = tuple(gmat[c][gg1] for c in range(9))
-      m2_ = tuple(gmat[c][gg2] for c in range(9))
-      s1 = tuple(jnp.asarray(size_np[:, c], dtype)[gg1] for c in range(3))
-      s2 = tuple(jnp.asarray(size_np[:, c], dtype)[gg2] for c in range(3))
+      dyn = onehot_select(sel, jnp.stack(p1 + p2 + m1_ + m2_))
+      stat = onehot_select(sel, jnp.asarray(np.concatenate([
+          size_np[g1].T, size_np[g2].T,
+          pair_np[None].astype(np.float64), params_np]), dtype)
+          + vary_zero)
+      p1 = tuple(dyn[0:3])
+      p2 = tuple(dyn[3:6])
+      m1_ = tuple(dyn[6:15])
+      m2_ = tuple(dyn[15:24])
+      s1 = tuple(stat[0:3])
+      s2 = tuple(stat[3:6])
+      pid = jnp.round(stat[6]).astype(jnp.int32)
+      par = stat[7:]
     else:
-      # Exhaustive group: every gather is static and sizes are constants.
-      # Tie the constant ids to the data so sharding/varying types stay
-      # uniform across scan carries (no-op add outside shard_map).
-      vary_zero = (data.qpos[0] * 0).astype(jnp.int32)
-      pid = jnp.asarray(pair_np) + vary_zero
-      p1 = tuple(gpos[c][g1] for c in range(3))
-      p2 = tuple(gpos[c][g2] for c in range(3))
-      m1_ = tuple(gmat[c][g1] for c in range(9))
-      m2_ = tuple(gmat[c][g2] for c in range(9))
       s1 = tuple(jnp.asarray(size_np[g1, c], dtype) for c in range(3))
       s2 = tuple(jnp.asarray(size_np[g2, c], dtype) for c in range(3))
+      pid = jnp.asarray(pair_np) + vary_zero.astype(jnp.int32)
+      par = jnp.asarray(params_np, dtype) + vary_zero
 
     sfn, sk = soa.KERNELS[(t1g, t2g)]
     assert sk == k
@@ -358,24 +407,27 @@ def collide_all(model: Model, data: Data) -> Data:
     n_pl.append(tuple(c.reshape(-1) for c in nrm))
     t1_pl.append(tuple(c.reshape(-1) for c in tt1))
     t2_pl.append(tuple(c.reshape(-1) for c in tt2))
-    pair_ids.append(jnp.tile(pid, k))
+    pair_ids.append(jnp.tile(pid, k))                  # rows are slot-major
+    par_pl.append(jnp.tile(par, (1, k)))               # matching tiling
 
   if not d_pl:
-    contact = Contact(dist=jnp.full((1,), _BIG, dtype),
-                      pos=jnp.zeros((1, 3), dtype),
-                      frame=jnp.eye(3, dtype=dtype)[None],
-                      pair=-jnp.ones((1,), jnp.int32))
+    contact = Contact(
+        dist=jnp.full((1,), _BIG, dtype),
+        pos=jnp.zeros((3, 1), dtype),
+        frame=jnp.asarray(np.eye(3).reshape(9, 1), dtype),
+        pair=-jnp.ones((1,), jnp.int32),
+        param=jnp.zeros((T.NPARAM, 1), dtype))
     return data.replace(contact=contact)
 
-  def cat(plane_tuples, c):
+  def catc(plane_tuples, c):
     return jnp.concatenate([t[c] for t in plane_tuples])
 
-  pos = jnp.stack([cat(pos_pl, c) for c in range(3)], axis=-1)
-  frame = jnp.stack(
-      [jnp.stack([cat(pl, c) for c in range(3)], axis=-1)
-       for pl in (n_pl, t1_pl, t2_pl)], axis=-2)       # (rows, 3, 3)
+  pos = jnp.stack([catc(pos_pl, c) for c in range(3)])           # (3, rows)
+  frame = jnp.stack([catc(pl, c) for pl in (n_pl, t1_pl, t2_pl)
+                     for c in range(3)])                         # (9, rows)
   contact = Contact(dist=jnp.concatenate(d_pl),
                     pos=pos, frame=frame,
-                    pair=jnp.concatenate(pair_ids).astype(jnp.int32))
+                    pair=jnp.concatenate(pair_ids).astype(jnp.int32),
+                    param=jnp.concatenate(par_pl, axis=-1))
   assert contact.dist.shape[0] == total_rows == num_contact_points(model)
   return data.replace(contact=contact)

@@ -383,70 +383,73 @@ def _contact_rows(model: Model, data: Data, dtype):
   2*(condim-1) pyramid rows.  All candidate points share the model-wide
   maximum condim for static shape; rows beyond a point's condim get zero
   impedance.
+
+  TPU structure: the top-K residual comes straight from the top_k values
+  (no gather); the selected geometry and pair parameters arrive through
+  one one-hot MXU contraction over the Contact planes; body ancestor masks
+  are resolved with a second tiny one-hot over nbody; and the directional
+  jacobians are (k,3)x(3,nv) matmuls — the whole stage has no per-env
+  dynamic gathers.
   """
-  from dexterity_tpu.core.types import num_contact_points
+  from dexterity_tpu.core import types as T
+  from dexterity_tpu.physics.collision.primitives import onehot_select
   if model.npair == 0:
     z = jnp.zeros((0,), dtype)
     return jnp.zeros((0, model.nv), dtype), z, z, z
 
   h = model.opt.timestep
-  npoint = num_contact_points(model)
+  c = data.contact
+  npoint = c.dist.shape[0]
   k_sel = min(model.opt.contact_top_k, npoint)
   max_condim = max(model.pair_condim) if model.npair else 1
 
-  pair_of_slot = jnp.maximum(data.contact.pair, 0)      # (npoint,) dynamic
-  pair_margin = model.pair_margin[pair_of_slot]
-  score = data.contact.dist - pair_margin
+  score = c.dist - c.param[T.PARAM_MARGIN]              # (npoint,)
   neg_score, sel = jax.lax.top_k(-score, k_sel)         # deepest first
-  del neg_score
+  score_sel = -neg_score
+  active = score_sel < 0
+  r = jnp.minimum(score_sel, 0.0)
 
-  pair_sel = pair_of_slot[sel]
-  dist = data.contact.dist[sel]
-  pos = data.contact.pos[sel]
-  frame = data.contact.frame[sel]                       # (k, 3, 3)
-  from dexterity_tpu.physics.collision import primitives
-  pg1, pg2 = primitives.pair_kernel_geoms(model)  # kernel (normal) order
-  geom1 = jnp.asarray(pg1)[pair_sel]
-  geom2 = jnp.asarray(pg2)[pair_sel]
-  margin = model.pair_margin[pair_sel]
-  solref = model.pair_solref[pair_sel]
-  solimp = model.pair_solimp[pair_sel]
-  friction = model.pair_friction[pair_sel]              # (k, 3) slide/tors/roll
-  condim = jnp.asarray(np.asarray(model.pair_condim))[pair_sel]
+  payload = jnp.concatenate([c.pos, c.frame, c.param[1:]], axis=0)
+  selp = onehot_select(sel, payload)                    # (26, k)
+  pos = selp[0:3]                                       # (3, k) planes
+  nrm = selp[3:6]
+  t1d = selp[6:9]
+  t2d = selp[9:12]
+  solref = selp[12:14].T                                # (k, 2)
+  solimp = selp[14:19].T                                # (k, 5)
+  mu3 = selp[19:22]                                     # (3, k)
+  condim = selp[22]
+  b1 = jnp.round(selp[23]).astype(jnp.int32)
+  b2 = jnp.round(selp[24]).astype(jnp.int32)
+  iw_t = selp[25]
 
-  gb = jnp.asarray(np.asarray(model.geom_bodyid))
-  b1 = gb[geom1]
-  b2 = gb[geom2]
-
-  active = dist < margin
-  r = jnp.where(active, dist - margin, 0.0)
-
-  # Point jacobians for both bodies at the contact point (dynamic body ids).
+  # mask[b2] - mask[b1] via one-hot over nbody (nbody is tiny).
   mask = jnp.asarray(kinematics.ancestor_mask(model), dtype=dtype)
-  ang = data.cdof[:, :3]
-  lin0 = data.cdof[:, 3:]
+  bodies = jnp.arange(model.nbody)
+  ob = ((b2[:, None] == bodies[None, :]).astype(dtype)
+        - (b1[:, None] == bodies[None, :]).astype(dtype))
+  maskdiff = ob @ mask                                  # (k, nv)
 
-  def point_jac(bid, point):
-    m = mask[bid]                                       # (nv,)
-    lin = lin0 + jnp.cross(jnp.broadcast_to(ang, (model.nv, 3)),
-                           jnp.broadcast_to(point, (model.nv, 3)))
-    return (lin * m[:, None]), (ang * m[:, None])       # (nv, 3) each
+  ang = data.cdof[:, :3]                                # (nv, 3)
+  lin = data.cdof[:, 3:]
+  hi = jax.lax.Precision.HIGHEST
 
-  jp2, jr2 = jax.vmap(point_jac)(b2, pos)               # (k, nv, 3)
-  jp1, jr1 = jax.vmap(point_jac)(b1, pos)
-  jp = jp2 - jp1                                        # translational
-  jr = jr2 - jr1                                        # rotational
+  def cross_planes(u, v):
+    return jnp.stack([u[1] * v[2] - u[2] * v[1],
+                      u[2] * v[0] - u[0] * v[2],
+                      u[0] * v[1] - u[1] * v[0]])
 
-  # Directional jacobians: (k, nv) per direction.
-  jn = jnp.einsum('kvi,ki->kv', jp, frame[:, 0])
-  jt1 = jnp.einsum('kvi,ki->kv', jp, frame[:, 1])
-  jt2 = jnp.einsum('kvi,ki->kv', jp, frame[:, 2])
-  jrn = jnp.einsum('kvi,ki->kv', jr, frame[:, 0])
-  jrt1 = jnp.einsum('kvi,ki->kv', jr, frame[:, 1])
-  jrt2 = jnp.einsum('kvi,ki->kv', jr, frame[:, 2])
+  def jac_t(d3):
+    # Translational row for direction d at point pos (body2 minus body1):
+    # J[k, v] = maskdiff * (d . lin_v + (pos x d) . ang_v).
+    return maskdiff * (jnp.einsum('ck,vc->kv', d3, lin, precision=hi)
+                       + jnp.einsum('ck,vc->kv', cross_planes(pos, d3), ang,
+                                    precision=hi))
 
-  iw_t = (model.body_invweight0[b1, 0] + model.body_invweight0[b2, 0])
+  def jac_r(d3):
+    return maskdiff * jnp.einsum('ck,vc->kv', d3, ang, precision=hi)
 
+  jn = jac_t(nrm)
   qvel = data.qvel
 
   if max_condim == 1:
@@ -454,13 +457,18 @@ def _contact_rows(model: Model, data: Data, dtype):
     dd = jnp.where(active, dd, 0.0)
     return jn, aref, dd, iw_t
 
+  jt1 = jac_t(t1d)
+  jt2 = jac_t(t2d)
+  jrn = jac_r(nrm)
+  jrt1 = jac_r(t1d)
+  jrt2 = jac_r(t2d)
+
   # Pyramidal rows: for friction dim j: J = Jn +/- mu_j * Jf_j.
-  fric_dirs = [(jt1, friction[:, 0]), (jt2, friction[:, 0]),
-               (jrn, friction[:, 1]), (jrt1, friction[:, 2]),
-               (jrt2, friction[:, 2])]
+  fric_dirs = [(jt1, mu3[0]), (jt2, mu3[0]),
+               (jrn, mu3[1]), (jrt1, mu3[2]), (jrt2, mu3[2])]
   # One regularizer per contact, from the slide friction coefficient
   # (matches mujoco: efc_R is uniform across a contact's pyramid rows).
-  mu0 = friction[:, 0]
+  mu0 = mu3[0]
   iw_pyr = iw_t * 2.0 * mu0 * mu0 * (1.0 + mu0 * mu0)
   ndim_rows = max_condim - 1
   j_blocks, aref_blocks, d_blocks, iw_blocks = [], [], [], []

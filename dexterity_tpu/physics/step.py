@@ -55,9 +55,36 @@ def step(model: Model, data: Data) -> Data:
   return data
 
 
+# True integrator state plus the per-dof/per-actuator dynamics outputs a
+# caller may read after the control step (e.g. the joint_torques observable
+# reads qfrc_* and qacc).  Everything else in Data is derived geometry that
+# is recomputed from qpos anyway.
+_STEP_CARRY = ('time', 'qpos', 'qvel', 'qacc', 'qacc_smooth', 'qfrc_bias',
+               'qfrc_passive', 'qfrc_actuator', 'qfrc_constraint',
+               'qfrc_constraint_axis', 'actuator_length',
+               'actuator_velocity', 'actuator_force')
+
+
 def step_n(model: Model, data: Data, n: int) -> Data:
-  """n physics substeps under lax.scan (control_dt / physics_dt)."""
-  def body(d, _):
-    return step(model, d), ()
-  data, _ = jax.lax.scan(body, data, (), length=n)
+  """n physics substeps under lax.scan (control_dt / physics_dt).
+
+  Only the minimal state rides the scan carry — the large derived products
+  (frames, contacts, mass matrix) stay out of the loop, which keeps the
+  carry small and lets XLA fuse freely.  After the scan, position and
+  velocity kinematics plus collision are refreshed once (MuJoCo
+  mj_step1-style), so observables / rewards / failure predicates read
+  quantities consistent with the post-step qpos instead of values one
+  substep stale.  (qM/qLD are NOT refreshed; re-run smooth.crb if needed.)
+  """
+  def body(carry, _):
+    d = step(model, data.replace(**carry))
+    return {f: getattr(d, f) for f in _STEP_CARRY}, ()
+
+  carry0 = {f: getattr(data, f) for f in _STEP_CARRY}
+  carry, _ = jax.lax.scan(body, carry0, (), length=n)
+  data = data.replace(**carry)
+  data = kinematics.fwd_position(model, data)
+  from dexterity_tpu.physics.collision import narrowphase
+  data = narrowphase.collision(model, data)
+  data = kinematics.fwd_velocity_kinematics(model, data)
   return data
