@@ -26,6 +26,31 @@ V3 = Tuple[jax.Array, jax.Array, jax.Array]
 M3 = Tuple[jax.Array, ...]  # row-major 9-tuple
 
 
+def masked_topk_select(dist, payloads, k):
+  """Selects the k smallest rows of `dist` (C, m) lane-wise, gather-free.
+
+  Returns (dist_sel (k, m), [payload_sel (k, m), ...]).  Each iteration
+  takes the lane-wise min, builds a first-occurrence one-hot over the
+  candidate axis (equality + cumsum — pure VPU work), and reads every
+  payload through a masked sum.  Replaces argmin + take_along_axis, whose
+  per-lane dynamic gathers serialize on the TPU scalar core and dominated
+  the narrow-phase profile.
+  """
+  work = dist
+  d_rows = []
+  p_rows = [[] for _ in payloads]
+  for _ in range(k):
+    dsel = jnp.min(work, axis=0)                        # (m,)
+    ismin = work == dsel[None]
+    first = ismin & (jnp.cumsum(ismin, axis=0) == 1)
+    fmask = first.astype(dist.dtype)
+    d_rows.append(dsel)
+    for out, payload in zip(p_rows, payloads):
+      out.append(jnp.sum(payload * fmask, axis=0))
+    work = work + (2.0 * _BIG) * fmask
+  return jnp.stack(d_rows), [jnp.stack(rows) for rows in p_rows]
+
+
 def vec3(a) -> V3:
   return (a[..., 0], a[..., 1], a[..., 2])
 
@@ -240,22 +265,12 @@ def capsule_box(p1, m1, s1, p2, m2, s2):
     ps.append(pos)
     ns.append(n)
   d3 = jnp.stack(ds)                                     # (3, m)
-  # Keep the 2 deepest of 3 (no sort): find argmin twice with masking.
-  i0 = jnp.argmin(d3, axis=0)
-  masked = d3 + _BIG * (jnp.arange(3)[:, None] == i0[None, :])
-  i1 = jnp.argmin(masked, axis=0)
-
-  def take(arrs, idx):
-    stacked = jnp.stack(arrs) if not isinstance(arrs, jax.Array) else arrs
-    return jnp.take_along_axis(stacked, idx[None, :], axis=0)[0]
-
-  out_d = jnp.stack([take(d3, i0), take(d3, i1)])
-  out_pos = tuple(jnp.stack([
-      take(jnp.stack([p[i] for p in ps]), i0),
-      take(jnp.stack([p[i] for p in ps]), i1)]) for i in range(3))
-  out_n = tuple(jnp.stack([
-      take(jnp.stack([n[i] for n in ns]), i0),
-      take(jnp.stack([n[i] for n in ns]), i1)]) for i in range(3))
+  # Keep the 2 deepest of 3: gather-free masked-min selection.
+  payloads = ([jnp.stack([p[i] for p in ps]) for i in range(3)]
+              + [jnp.stack([n[i] for n in ns]) for i in range(3)])
+  out_d, sel = masked_topk_select(d3, payloads, 2)
+  out_pos = tuple(sel[0:3])
+  out_n = tuple(sel[3:6])
   # Dedupe coincident points (double-force guard).
   same = (jnp.abs(out_pos[0][0] - out_pos[0][1])
           + jnp.abs(out_pos[1][0] - out_pos[1][1])
@@ -456,21 +471,9 @@ def box_box(p1, m1, s1, p2, m2, s2):
   depth = h_points - s_axis
   dist_cand = jnp.where(ok_all, depth, _BIG)               # (24, m)
 
-  # Top-8 deepest by iterative masked min.
-  sel_dist, sel_u, sel_v = [], [], []
-  work = dist_cand
-  for _ in range(8):
-    idx = jnp.argmin(work, axis=0)
-    dsel = jnp.take_along_axis(work, idx[None], axis=0)[0]
-    usel = jnp.take_along_axis(cu_all, idx[None], axis=0)[0]
-    vsel = jnp.take_along_axis(cv_all, idx[None], axis=0)[0]
-    sel_dist.append(dsel)
-    sel_u.append(usel)
-    sel_v.append(vsel)
-    work = work + 2 * _BIG * (jnp.arange(24)[:, None] == idx[None])
-  dist_face = jnp.stack(sel_dist)                          # (8, m)
-  pu8 = jnp.stack(sel_u)
-  pv8 = jnp.stack(sel_v)
+  # Top-8 deepest by gather-free masked-min selection.
+  dist_face, (pu8, pv8) = masked_topk_select(
+      dist_cand, [cu_all, cv_all], 8)                      # (8, m) each
 
   # Dedupe coincident selections.
   dup = jnp.zeros_like(dist_face, dtype=bool)
