@@ -31,7 +31,7 @@ Reference semantics replaced: mj_fwdConstraint / physics.step C boundary
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -305,75 +305,80 @@ def _eq_rows(model: Model, data: Data, dtype):
 
 
 def _fl_rows(model: Model, data: Data, dtype):
-  """Dof frictionloss rows (vectorized; static row set: dofs with fl > 0)."""
+  """Dof frictionloss rows (static row set: dofs with fl > 0).
+
+  Returns diag-row parts (dof idx, aref, d, invweight, fl): J = e_dof."""
   h = model.opt.timestep
   fl_np = np.asarray(jax.device_get(model.dof_frictionloss))
   idx = np.where(fl_np > 0)[0]
   n = len(idx)
   if n == 0:
     z = jnp.zeros((0,), dtype)
-    return jnp.zeros((0, model.nv), dtype), z, z, z, z
-  j_static = np.zeros((n, model.nv))
-  j_static[np.arange(n), idx] = 1.0
+    return np.zeros(0, np.int64), z, z, z, z
   solref = jnp.broadcast_to(jnp.asarray([0.02, 1.0], dtype), (n, 2))
   solimp = jnp.broadcast_to(
       jnp.asarray([0.9, 0.95, 0.001, 0.5, 2.0], dtype), (n, 5))
   dd, aref = _kbi(solref, solimp, jnp.zeros(n, dtype), data.qvel[idx], h)
-  return (jnp.asarray(j_static, dtype), aref, dd,
-          model.dof_invweight0[idx], model.dof_frictionloss[idx])
+  return idx, aref, dd, model.dof_invweight0[idx], model.dof_frictionloss[idx]
 
 
-def _limit_rows(model: Model, data: Data, dtype):
-  """Joint and tendon limit rows (vectorized; 2 per limited joint/tendon)."""
+def _jnt_limit_rows(model: Model, data: Data, dtype):
+  """Scalar-joint limit rows as diag rows: J = sign * e_dof.
+
+  Returns (dof idx, sign, aref, d, invweight) with both sides stacked
+  (side 0 rows then side 1 rows — reference efc ordering)."""
   h = model.opt.timestep
-  blocks = []
-
-  # Scalar joint limits.
   jids = [ji for ji in range(model.njnt)
           if model.jnt_limited[ji]
           and JointType(model.jnt_type[ji]) in (JointType.HINGE,
                                                 JointType.SLIDE)]
-  if jids:
-    jids_np = np.asarray(jids)
-    qadr = np.asarray([model.jnt_qposadr[j] for j in jids])
-    dadr = np.asarray([model.jnt_dofadr[j] for j in jids])
-    for side, sign in ((0, 1.0), (1, -1.0)):
-      dist = sign * (data.qpos[qadr] - model.jnt_range[jids_np, side])
-      margin = model.jnt_margin[jids_np]
-      active = dist < margin
-      r = jnp.where(active, dist - margin, 0.0)
-      j_static = np.zeros((len(jids), model.nv))
-      j_static[np.arange(len(jids)), dadr] = sign
-      dd, aref = _kbi(model.jnt_solref[jids_np], model.jnt_solimp[jids_np],
-                      r, sign * data.qvel[dadr], h)
-      dd = jnp.where(active, dd, 0.0)
-      blocks.append((jnp.asarray(j_static, dtype), aref, dd,
-                     model.dof_invweight0[dadr]))
+  if not jids:
+    z = jnp.zeros((0,), dtype)
+    return (np.zeros(0, np.int64), np.zeros(0), z, z, z)
+  jids_np = np.asarray(jids)
+  qadr = np.asarray([model.jnt_qposadr[j] for j in jids])
+  dadr = np.asarray([model.jnt_dofadr[j] for j in jids])
+  arefs, dds = [], []
+  for side, sign in ((0, 1.0), (1, -1.0)):
+    dist = sign * (data.qpos[qadr] - model.jnt_range[jids_np, side])
+    margin = model.jnt_margin[jids_np]
+    active = dist < margin
+    r = jnp.where(active, dist - margin, 0.0)
+    dd, aref = _kbi(model.jnt_solref[jids_np], model.jnt_solimp[jids_np],
+                    r, sign * data.qvel[dadr], h)
+    arefs.append(aref)
+    dds.append(jnp.where(active, dd, 0.0))
+  n = len(jids)
+  return (np.concatenate([dadr, dadr]),
+          np.concatenate([np.ones(n), -np.ones(n)]),
+          jnp.concatenate(arefs), jnp.concatenate(dds),
+          jnp.concatenate([model.dof_invweight0[dadr]] * 2))
 
-  # Tendon limits.
+
+def _ten_limit_rows(model: Model, data: Data, dtype):
+  """Tendon limit rows (dense: tendon_moment rows)."""
+  h = model.opt.timestep
   tids = [ti for ti in range(model.ntendon) if model.tendon_limited[ti]]
-  if tids:
-    tids_np = np.asarray(tids)
-    for side, sign in ((0, 1.0), (1, -1.0)):
-      dist = sign * (data.ten_length[tids_np]
-                     - model.tendon_range[tids_np, side])
-      margin = model.tendon_margin[tids_np]
-      active = dist < margin
-      r = jnp.where(active, dist - margin, 0.0)
-      dd, aref = _kbi(model.tendon_solref[tids_np],
-                      model.tendon_solimp[tids_np], r,
-                      sign * data.ten_velocity[tids_np], h)
-      dd = jnp.where(active, dd, 0.0)
-      blocks.append((sign * model.tendon_moment[tids_np], aref, dd,
-                     model.tendon_invweight0[tids_np]))
-
-  if not blocks:
+  if not tids:
     z = jnp.zeros((0,), dtype)
     return jnp.zeros((0, model.nv), dtype), z, z, z
-  return (jnp.concatenate([b[0] for b in blocks]),
-          jnp.concatenate([b[1] for b in blocks]),
-          jnp.concatenate([b[2] for b in blocks]),
-          jnp.concatenate([b[3] for b in blocks]))
+  tids_np = np.asarray(tids)
+  js, arefs, dds, iws = [], [], [], []
+  for side, sign in ((0, 1.0), (1, -1.0)):
+    dist = sign * (data.ten_length[tids_np]
+                   - model.tendon_range[tids_np, side])
+    margin = model.tendon_margin[tids_np]
+    active = dist < margin
+    r = jnp.where(active, dist - margin, 0.0)
+    dd, aref = _kbi(model.tendon_solref[tids_np],
+                    model.tendon_solimp[tids_np], r,
+                    sign * data.ten_velocity[tids_np], h)
+    js.append(sign * model.tendon_moment[tids_np])
+    arefs.append(aref)
+    dds.append(jnp.where(active, dd, 0.0))
+    iws.append(model.tendon_invweight0[tids_np])
+  return (jnp.concatenate(js), jnp.concatenate(arefs),
+          jnp.concatenate(dds), jnp.concatenate(iws))
 
 
 def _contact_rows(model: Model, data: Data, dtype):
@@ -487,29 +492,108 @@ def _contact_rows(model: Model, data: Data, dtype):
           jnp.concatenate(d_blocks), jnp.concatenate(iw_blocks))
 
 
+class DenseBlock(NamedTuple):
+  """Constraint rows with a dense (n, nv) jacobian."""
+  J: jax.Array
+  aref: jax.Array
+  big_d: jax.Array     # (n,) impedance weight D = d / ((1-d) iw), 0 disabled
+  kind: int            # static row-type code (uniform within a block)
+  fl: Optional[jax.Array]      # frictionloss bound (FL blocks only)
+  trans: Optional[np.ndarray]  # static per-row transmitted mask (eq block)
+
+
+class DiagBlock(NamedTuple):
+  """Constraint rows whose jacobian is sign * e_dof (limits, frictionloss).
+
+  matvec is a static-index selection; rmatvec and the Hessian diagonal go
+  through the static scatter matrix `scat` (nv, n) — a tiny constant
+  matmul instead of a runtime scatter, which serializes on TPU."""
+  dof: np.ndarray      # (n,) static dof indices
+  sign: np.ndarray     # (n,) static +-1
+  scat: np.ndarray     # (nv, n) static: scat[dof[i], i] = sign[i]
+  aref: jax.Array
+  big_d: jax.Array
+  kind: int
+  fl: Optional[jax.Array]
+
+
+def _diag_block(nv, dof, sign, aref, big_d, kind, fl):
+  scat = np.zeros((nv, len(dof)))
+  scat[dof, np.arange(len(dof))] = sign
+  return DiagBlock(dof, sign, scat, aref, big_d, kind, fl)
+
+
+def _bigd(d, invweight, dtype):
+  d_clamped = jnp.clip(d, 0.0, 1.0 - 1e-6)
+  big = d_clamped / jnp.maximum((1.0 - d_clamped) * invweight, 1e-12)
+  return jnp.where(d > 0, big, 0.0).astype(dtype)
+
+
+def assemble_blocks(model: Model, data: Data):
+  """Block-structured constraint assembly (the hot-path form).
+
+  Reference efc ordering preserved across blocks: equalities,
+  frictionloss, joint limits, tendon limits, contacts."""
+  dtype = data.qpos.dtype
+  blocks = []
+
+  ej, er, ed, ei, etrans = _eq_rows_blocks(model, data, dtype)
+  if ej.shape[0]:
+    blocks.append(DenseBlock(ej, er, _bigd(ed, ei, dtype), _BILATERAL,
+                             None, etrans))
+  fdof, fr, fd, fi, ffl = _fl_rows(model, data, dtype)
+  if len(fdof):
+    blocks.append(_diag_block(model.nv, fdof, np.ones(len(fdof)), fr,
+                              _bigd(fd, fi, dtype), _FRICTIONLOSS, ffl))
+  ldof, lsign, lr, ld, li = _jnt_limit_rows(model, data, dtype)
+  if len(ldof):
+    blocks.append(_diag_block(model.nv, ldof, lsign, lr,
+                              _bigd(ld, li, dtype), _UNILATERAL, None))
+  tj, tr, td, ti = _ten_limit_rows(model, data, dtype)
+  if tj.shape[0]:
+    blocks.append(DenseBlock(tj, tr, _bigd(td, ti, dtype), _UNILATERAL,
+                             None, np.ones(tj.shape[0], bool)))
+  cj, cr, cd, ci = _contact_rows(model, data, dtype)
+  if cj.shape[0]:
+    blocks.append(DenseBlock(cj, cr, _bigd(cd, ci, dtype), _UNILATERAL,
+                             None, np.zeros(cj.shape[0], bool)))
+  return blocks
+
+
 def assemble(model: Model, data: Data) -> Rows:
+  """Dense concatenated rows (conformance/debug surface; the solver uses
+  assemble_blocks).  Row order and values match MuJoCo's efc_* layout as
+  verified in tests/test_weld_mocap.py / tools/check_constraint.py."""
   dtype = data.qpos.dtype
 
   ej, er, ed, ei, etrans = _eq_rows_blocks(model, data, dtype)
-  fj, fr, fd, fi, ffl = _fl_rows(model, data, dtype)
-  lj, lr, ld, li = _limit_rows(model, data, dtype)
+  fdof, fr, fd, fi, ffl = _fl_rows(model, data, dtype)
+  fj = jnp.zeros((len(fdof), model.nv), dtype)
+  if len(fdof):
+    fj = fj.at[np.arange(len(fdof)), fdof].set(1.0)
+  ldof, lsign, lr, ld, li = _jnt_limit_rows(model, data, dtype)
+  lj = jnp.zeros((len(ldof), model.nv), dtype)
+  if len(ldof):
+    lj = lj.at[np.arange(len(ldof)), ldof].set(jnp.asarray(lsign, dtype))
+  tj, tr, td, ti = _ten_limit_rows(model, data, dtype)
   cj, cr, cd, ci = _contact_rows(model, data, dtype)
 
-  n_e, n_f, n_l, n_c = (ej.shape[0], fj.shape[0], lj.shape[0], cj.shape[0])
+  n_e, n_f, n_l = ej.shape[0], len(fdof), len(ldof)
+  n_t, n_c = tj.shape[0], cj.shape[0]
   kind = np.concatenate([
       np.full(n_e, _BILATERAL, np.int32),
       np.full(n_f, _FRICTIONLOSS, np.int32),
-      np.full(n_l, _UNILATERAL, np.int32),
+      np.full(n_l + n_t, _UNILATERAL, np.int32),
       np.full(n_c, _UNILATERAL, np.int32)])
   fl = jnp.concatenate([jnp.zeros(n_e, dtype), ffl,
-                        jnp.zeros(n_l + n_c, dtype)])
-  transmitted = np.concatenate([etrans, np.ones(n_f + n_l, bool),
+                        jnp.zeros(n_l + n_t + n_c, dtype)])
+  transmitted = np.concatenate([etrans, np.ones(n_f + n_l + n_t, bool),
                                 np.zeros(n_c, bool)])
   return Rows(
-      J=jnp.concatenate([ej, fj, lj, cj]),
-      aref=jnp.concatenate([er, fr, lr, cr]),
-      d=jnp.concatenate([ed, fd, ld, cd]),
-      invweight=jnp.concatenate([ei, fi, li, ci]),
+      J=jnp.concatenate([ej, fj, lj, tj, cj]),
+      aref=jnp.concatenate([er, fr, lr, tr, cr]),
+      d=jnp.concatenate([ed, fd, ld, td, cd]),
+      invweight=jnp.concatenate([ei, fi, li, ti, ci]),
       fl=fl, kind=kind, transmitted=transmitted)
 
 
@@ -528,7 +612,64 @@ def _eq_rows_blocks(model: Model, data: Data, dtype):
 # ---------------------------------------------------------------------------
 
 
+def _blk_matvec(blk, v):
+  """J_blk @ v for a (nv,) vector."""
+  if isinstance(blk, DiagBlock):
+    return v[blk.dof] * jnp.asarray(blk.sign, v.dtype)
+  return blk.J @ v
+
+
+def _blk_rmatvec(blk, f, nv):
+  """J_blkᵀ @ f -> (nv,)."""
+  if isinstance(blk, DiagBlock):
+    return jnp.asarray(blk.scat, f.dtype) @ f
+  return blk.J.T @ f
+
+
+def _blk_hess(blk, w, nv, dtype):
+  """J_blkᵀ diag(w) J_blk -> (nv, nv)."""
+  if isinstance(blk, DiagBlock):
+    diag = jnp.asarray(np.abs(blk.scat), dtype) @ w   # sign² = 1
+    return jnp.diag(diag)
+  return (blk.J.T * w) @ blk.J
+
+
+def _blk_force_weight(blk, x):
+  """Per-row constraint force -s'(x) and Hessian weight s''(x);
+  the row type is static per block (no kind selects)."""
+  f_quad = -blk.big_d * x
+  if blk.kind == _BILATERAL:
+    return f_quad, blk.big_d
+  if blk.kind == _FRICTIONLOSS:
+    f = jnp.clip(f_quad, -blk.fl, blk.fl)
+    w = jnp.where(jnp.abs(f_quad) < blk.fl, blk.big_d, 0.0)
+    return f, w
+  active = x < 0
+  return jnp.where(active, f_quad, 0.0), jnp.where(active, blk.big_d, 0.0)
+
+
+def _blk_cost(blk, x):
+  """Per-block convex penalty s(x), summed over the last axis."""
+  quad = 0.5 * blk.big_d * x * x
+  if blk.kind == _BILATERAL:
+    return jnp.sum(quad, axis=-1)
+  if blk.kind == _FRICTIONLOSS:
+    lin = blk.fl * jnp.abs(x) - 0.5 * blk.fl * blk.fl / jnp.maximum(
+        blk.big_d, 1e-12)
+    return jnp.sum(jnp.where(jnp.abs(blk.big_d * x) < blk.fl, quad, lin),
+                   axis=-1)
+  return jnp.sum(jnp.where(x < 0, quad, 0.0), axis=-1)
+
+
 def solve(model: Model, data: Data, qfrc_smooth: jax.Array) -> Data:
+  """Projected Newton over block-structured rows.
+
+  TPU notes: the rows stay as typed blocks end-to-end — limits and
+  frictionloss contribute static-index selections and diagonal updates
+  instead of dense (n, nv) matmuls, equalities and contacts keep dense
+  jacobians sized to their own row counts, and nothing is ever
+  concatenated into one (nrow, nv) matrix (the concat alone cost ~10% of
+  the round-2 substep)."""
   from dexterity_tpu.physics import linalg_pallas
 
   def smooth_only():
@@ -538,97 +679,80 @@ def solve(model: Model, data: Data, qfrc_smooth: jax.Array) -> Data:
 
   if model.opt.disable_constraint:
     return smooth_only()
-  rows = assemble(model, data)
-  nrow = rows.J.shape[0]
-  if nrow == 0:
+  blocks = assemble_blocks(model, data)
+  if not blocks:
     return smooth_only()
 
   dtype = data.qpos.dtype
-  d_clamped = jnp.clip(rows.d, 0.0, 1.0 - 1e-6)
-  enabled = rows.d > 0
-  big_d = d_clamped / jnp.maximum(
-      (1.0 - d_clamped) * rows.invweight, 1e-12)     # D = 1/R
-  big_d = jnp.where(enabled, big_d, 0.0)
-
-  is_bilateral = jnp.asarray(rows.kind == _BILATERAL)
-  is_fl = jnp.asarray(rows.kind == _FRICTIONLOSS)
-
+  nv = model.nv
   m = data.qM
 
-  def force_and_weight(x):
-    """Per-row constraint force -s'(x) and Hessian weight s''(x)."""
-    f_quad = -big_d * x
-    # Friction loss: clamp force to [-fl, fl] (Huber).
-    f_fl = jnp.clip(f_quad, -rows.fl, rows.fl)
-    in_quad_fl = jnp.abs(f_quad) < rows.fl
-    # Unilateral: active only when x < 0.
-    f_uni = jnp.where(x < 0, f_quad, 0.0)
-    f = jnp.where(is_bilateral, f_quad,
-                  jnp.where(is_fl, f_fl, f_uni))
-    w = jnp.where(is_bilateral, big_d,
-                  jnp.where(is_fl, jnp.where(in_quad_fl, big_d, 0.0),
-                            jnp.where(x < 0, big_d, 0.0)))
-    return f, w
+  def matvecs(v):
+    return tuple(_blk_matvec(b, v) for b in blocks)
 
-  def row_cost(x):
-    """Per-row convex penalty s(x); summed over the last axis."""
-    quad = 0.5 * big_d * x * x
-    c_fl_lin = rows.fl * jnp.abs(x) - 0.5 * rows.fl * rows.fl / jnp.maximum(
-        big_d, 1e-12)
-    c_fl = jnp.where(jnp.abs(big_d * x) < rows.fl, quad, c_fl_lin)
-    c_uni = jnp.where(x < 0, quad, 0.0)
-    c_rows = jnp.where(is_bilateral, quad,
-                       jnp.where(is_fl, c_fl, c_uni))
-    return jnp.sum(c_rows, axis=-1)
+  def row_cost(xs):
+    return sum(_blk_cost(b, x) for b, x in zip(blocks, xs))
 
-  # The Newton carry holds (a, x = J a - aref, ma = M a) so each iteration
-  # costs two matvecs (J delta, M delta) + one transpose matvec (J^T f) and
-  # the line search is a closed-form quadratic in alpha plus the row
-  # penalty on rank-1-updated residuals — no re-evaluated J @ (a + al d).
+  # The Newton carry holds (a, xs = J a - aref per block, ma = M a): each
+  # iteration costs the block matvecs of delta, one M delta, and the
+  # transpose matvecs of the forces; the line search is a closed-form
+  # quadratic in alpha plus the row penalty on rank-1-updated residuals.
   alphas = 2.0 ** -jnp.arange(model.opt.ls_iterations, dtype=dtype)
 
-  def total_cost(a, x, ma):
-    return 0.5 * (a @ ma) - a @ qfrc_smooth + row_cost(x)
-
   def newton_step(carry, _):
-    a, x, ma = carry
-    f, w = force_and_weight(x)
-    grad = ma - qfrc_smooth - rows.J.T @ f
-    hess = m + (rows.J.T * w) @ rows.J
+    a, xs, ma = carry
+    fws = [_blk_force_weight(b, x) for b, x in zip(blocks, xs)]
+    grad = (ma - qfrc_smooth
+            - sum(_blk_rmatvec(b, f, nv) for b, (f, _) in zip(blocks, fws)))
+    hess = m + sum(_blk_hess(b, w, nv, dtype)
+                   for b, (_, w) in zip(blocks, fws))
     delta = -linalg_pallas.cholesky_solve(
-        hess + 1e-10 * jnp.eye(model.nv, dtype=dtype), grad)
-    jd = rows.J @ delta
+        hess + 1e-10 * jnp.eye(nv, dtype=dtype), grad)
+    jds = matvecs(delta)
     md = m @ delta
-    # cost(a + al*delta) = quad0 + al*lin + al^2*quad2 + row_cost(x + al*jd)
+    # cost(a + al*delta) = quad0 + al*lin + al²*quad2 + row_cost(x + al*jd)
     quad0 = 0.5 * (a @ ma) - a @ qfrc_smooth
     lin = delta @ ma - delta @ qfrc_smooth
     quad2 = 0.5 * (delta @ md)
-    c0 = quad0 + row_cost(x)
-    x_al = x[None, :] + alphas[:, None] * jd[None, :]      # (L, nrow)
-    costs = quad0 + alphas * lin + alphas * alphas * quad2 + row_cost(x_al)
+    c0 = quad0 + row_cost(xs)
+    costs = (quad0 + alphas * lin + alphas * alphas * quad2
+             + row_cost(tuple(x[None, :] + alphas[:, None] * jd[None, :]
+                              for x, jd in zip(xs, jds))))
     best = jnp.argmin(costs)
     improved = costs[best] < c0
     step = jnp.where(improved, alphas[best], 0.0)
-    return (a + step * delta, x + step * jd, ma + step * md), ()
+    new_xs = tuple(x + step * jd for x, jd in zip(xs, jds))
+    return (a + step * delta, new_xs, ma + step * md), ()
 
   # Warm start from the previous step's qacc (MuJoCo warmstart semantics);
   # zero is the safe alternative at episode starts.
   warm = data.qacc
-  x_warm = rows.J @ warm - rows.aref
+  xs_warm = tuple(mv - b.aref for mv, b in zip(matvecs(warm), blocks))
   ma_warm = m @ warm
-  x_zero = -rows.aref
-  c_warm = total_cost(warm, x_warm, ma_warm)
-  c_zero = row_cost(x_zero)
+  xs_zero = tuple(-b.aref for b in blocks)
+  c_warm = 0.5 * (warm @ ma_warm) - warm @ qfrc_smooth + row_cost(xs_warm)
+  c_zero = row_cost(xs_zero)
   use_warm = c_warm < c_zero
   carry0 = (jnp.where(use_warm, warm, 0.0),
-            jnp.where(use_warm, x_warm, x_zero),
+            tuple(jnp.where(use_warm, xw, xz)
+                  for xw, xz in zip(xs_warm, xs_zero)),
             jnp.where(use_warm, ma_warm, 0.0))
-  (a, x, _), _ = jax.lax.scan(newton_step, carry0, (),
-                              length=model.opt.solver_iterations)
+  (a, xs, _), _ = jax.lax.scan(newton_step, carry0, (),
+                               length=model.opt.solver_iterations)
 
-  f, _ = force_and_weight(x)
-  qfrc_constraint = rows.J.T @ f
-  trans = jnp.asarray(rows.transmitted, dtype)
-  qfrc_constraint_axis = rows.J.T @ (f * trans)
+  fs = [_blk_force_weight(b, x)[0] for b, x in zip(blocks, xs)]
+  qfrc_constraint = sum(_blk_rmatvec(b, f, nv) for b, f in zip(blocks, fs))
+  # Joint-transmitted share (limits/frictionloss/JOINT/TENDON equalities):
+  # what a joint torque sensor sees; contacts and CONNECT/WELD wrenches are
+  # external (MuJoCo cfrc_ext).  DiagBlocks are always transmitted; dense
+  # blocks carry a static per-row mask (skipped entirely when all-False).
+  axis_terms = []
+  for b, f in zip(blocks, fs):
+    if isinstance(b, DiagBlock):
+      axis_terms.append(_blk_rmatvec(b, f, nv))
+    elif b.trans.any():
+      axis_terms.append(_blk_rmatvec(b, f * jnp.asarray(b.trans, dtype), nv))
+  qfrc_constraint_axis = (sum(axis_terms) if axis_terms
+                          else jnp.zeros(nv, dtype))
   return data.replace(qacc=a, qfrc_constraint=qfrc_constraint,
                       qfrc_constraint_axis=qfrc_constraint_axis)

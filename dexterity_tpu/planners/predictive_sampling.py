@@ -30,11 +30,26 @@ class PredictiveSamplingConfig:
   horizon: int = 10            # control steps to look ahead
   num_samples: int = 512       # candidate action sequences per solve
   noise_scale: float = 0.2     # exploration std, in units of ctrl range
+  # Exploration noise parameterization: noise is sampled at `num_knots`
+  # control points spanning the horizon and linearly interpolated to all H
+  # steps (MJPC-style spline plans).  Temporally-correlated smooth
+  # perturbations explore low-frequency hand motions far more efficiently
+  # than per-step white noise; 0 disables (white noise).
+  num_knots: int = 4
+  # MPPI-style update: nominal <- softmax-weighted average of candidates at
+  # this temperature (in units of the return spread); 0 keeps the argmax
+  # (vanilla predictive sampling).
+  temperature: float = 0.0
   # Physics fidelity for planning rollouts (MJPC-style reduced solver;
   # the Newton warmstart carries across substeps, so 2 iterations suffice
   # for planning-grade accuracy — MJPC itself plans with 1).
   solver_iterations: int = 2
   ls_iterations: int = 3
+  # Planning-model substeps per control step.  The task model integrates
+  # control_dt / n_substeps (reorient: 5 x 5 ms); the planner may roll out
+  # coarser physics (MJPC plans this task at ~10 ms).  None keeps the task
+  # value; e.g. 3 -> 8.3 ms planning timestep, ~1.7x faster solves.
+  plan_substeps: Optional[int] = None
 
 
 from dexterity_tpu.utils.structs import pytree_dataclass
@@ -62,10 +77,17 @@ class PredictiveSampling:
     self.config = config
     self.extra_reward_fn = extra_reward_fn
     model = task.compile()
-    # Reduced-fidelity planning model (same arrays, fewer solver iters).
-    self.model = model.replace(opt=model.opt.replace(
+    # Reduced-fidelity planning model (same arrays, fewer solver iters,
+    # optionally a coarser integration timestep).
+    opt = model.opt.replace(
         solver_iterations=config.solver_iterations,
-        ls_iterations=config.ls_iterations))
+        ls_iterations=config.ls_iterations)
+    self.n_plan_substeps = (config.plan_substeps if config.plan_substeps
+                            else task.n_substeps)
+    if config.plan_substeps:
+      opt = opt.replace(
+          timestep=task.control_timestep / config.plan_substeps)
+    self.model = model.replace(opt=opt)
     self.dtype = dtype if dtype is not None else jnp.zeros(0).dtype
     spec = task.action_spec(model)
     lo = np.where(np.isfinite(spec.minimum), spec.minimum, -1.0)
@@ -100,7 +122,7 @@ class PredictiveSampling:
     """
     model = self.model
     gen = self.task.goal_generator
-    n_sub = self.task.n_substeps
+    n_sub = self.n_plan_substeps
 
     def control_step(carry, action):
       d, alive = carry
@@ -125,14 +147,31 @@ class PredictiveSampling:
         control_step, (data, alive0), actions)
     return jnp.sum(rewards)
 
+  def _sample_noise(self, key, n):
+    """(n, H, nu) exploration noise; spline-smoothed when num_knots > 0."""
+    cfg = self.config
+    rng = self._hi - self._lo
+    k = cfg.num_knots
+    if not k or k >= cfg.horizon:
+      return (jax.random.normal(key, (n, cfg.horizon, self.nu), self.dtype)
+              * cfg.noise_scale * rng)
+    knots = (jax.random.normal(key, (n, k, self.nu), self.dtype)
+             * cfg.noise_scale * rng)
+    # Linear interpolation of the k knots onto the H control steps
+    # (static interpolation matrix -> one matmul over the knot axis).
+    t = np.linspace(0.0, k - 1.0, cfg.horizon)
+    i0 = np.clip(np.floor(t).astype(int), 0, k - 2)
+    w = t - i0
+    interp = np.zeros((cfg.horizon, k))
+    interp[np.arange(cfg.horizon), i0] = 1.0 - w
+    interp[np.arange(cfg.horizon), i0 + 1] = w
+    return jnp.einsum('hk,nku->nhu', jnp.asarray(interp, self.dtype), knots)
+
   def solve(self, data: T.Data, goal: jax.Array, pstate: PlannerState,
             key: jax.Array):
     """One MPC solve. Returns (action, new PlannerState)."""
     cfg = self.config
-    rng = self._hi - self._lo
-    noise = (jax.random.normal(
-        key, (cfg.num_samples - 1, cfg.horizon, self.nu), self.dtype)
-        * cfg.noise_scale * rng)
+    noise = self._sample_noise(key, cfg.num_samples - 1)
     candidates = jnp.concatenate(
         [pstate.nominal[None], pstate.nominal[None] + noise])
     candidates = jnp.clip(candidates, self._lo, self._hi)
@@ -140,7 +179,16 @@ class PredictiveSampling:
     returns = jax.vmap(lambda a: self.rollout_return(data, goal, a))(
         candidates)
     best = jnp.argmax(returns)
-    best_seq = candidates[best]
+    if cfg.temperature > 0:
+      # MPPI-style exponentially-weighted plan average (normalized by the
+      # return spread so temperature is scale-free).
+      spread = jnp.maximum(returns.max() - returns.min(), 1e-6)
+      w = jax.nn.softmax((returns - returns.max())
+                         / (cfg.temperature * spread))
+      best_seq = jnp.einsum('n,nhu->hu', w, candidates)
+      best_seq = jnp.clip(best_seq, self._lo, self._hi)
+    else:
+      best_seq = candidates[best]
     # Receding horizon: shift, repeat last action.
     nominal = jnp.concatenate([best_seq[1:], best_seq[-1:]])
     new_state = PlannerState(nominal=nominal, best_return=returns[best])

@@ -1,0 +1,117 @@
+"""Closed-loop reorient MPC evaluation: goal-reach rate over N goals.
+
+Success criterion mirrors the reference reorient task exactly
+(/root/reference/dexterity/manipulation/tasks/reorient.py:51,64-68): a goal
+counts as solved when the orientation error drops to <= 0.1 rad within
+<= 300 control steps (7.5 s); the episode also ends (failed) if the cube
+falls (prop-ground contact).  Each episode is one goal
+(successes_needed=1), so N consecutive episodes = N consecutive goals.
+
+Env-var knobs:
+  GOALS (20)  SAMPLES (512)  HORIZON (10)  KNOTS (4)  TEMP (0.0)
+  NOISE (0.2)  PLAN_SUBSTEPS (unset = task default 5)  SHAPING (1)
+  SEED (0)
+
+Prints one summary line per goal and a final JSON summary.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+os.makedirs('/tmp/dexterity_tpu_jax_cache', exist_ok=True)
+jax.config.update('jax_compilation_cache_dir', '/tmp/dexterity_tpu_jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
+
+
+def main():
+  from dexterity_tpu import manipulation
+  from dexterity_tpu.planners import predictive_sampling as ps
+
+  n_goals = int(os.environ.get('GOALS', '20'))
+  samples = int(os.environ.get('SAMPLES', '512'))
+  horizon = int(os.environ.get('HORIZON', '10'))
+  knots = int(os.environ.get('KNOTS', '4'))
+  temp = float(os.environ.get('TEMP', '0.0'))
+  noise = float(os.environ.get('NOISE', '0.2'))
+  plan_substeps = (int(os.environ['PLAN_SUBSTEPS'])
+                   if 'PLAN_SUBSTEPS' in os.environ else None)
+  shaping_on = os.environ.get('SHAPING', '1') == '1'
+  seed = int(os.environ.get('SEED', '0'))
+
+  task = manipulation.build_task('reorient', 'state_dense')
+  env = manipulation._environment.GoalEnvironment(task)
+  model = task.compile()
+  task.after_compile(model)
+  prop_body = task._prop_body
+  spawn_center = jnp.asarray([0.0, -0.13, 0.16])
+
+  def keep_in_hand(model, data, goal):
+    """Planning-only shaping: keep the cube over the palm and near the
+    spawn height; discourages plans that fling or drop it."""
+    del model, goal
+    pos = data.xpos[prop_body]
+    horiz = (pos[0] - spawn_center[0]) ** 2 + (pos[1] - spawn_center[1]) ** 2
+    low = jnp.maximum(spawn_center[2] - 0.035 - pos[2], 0.0)
+    return -300.0 * horiz - 2000.0 * low * low
+
+  planner = ps.PredictiveSampling(
+      task,
+      ps.PredictiveSamplingConfig(
+          horizon=horizon, num_samples=samples, noise_scale=noise,
+          num_knots=knots, temperature=temp, plan_substeps=plan_substeps),
+      extra_reward_fn=keep_in_hand if shaping_on else None)
+
+  reset = jax.jit(env.reset)
+  step = jax.jit(env.step)
+  solve = jax.jit(planner.solve)
+
+  key = jax.random.PRNGKey(seed)
+  solved_flags, steps_taken, final_err = [], [], []
+  t_start = time.time()
+  for g in range(n_goals):
+    key, k_reset = jax.random.split(key)
+    state, ts = reset(k_reset)
+    pstate = planner.init_state()
+    n_steps = 0
+    while True:
+      key, k_plan = jax.random.split(key)
+      action, pstate = solve(state.data, state.task.goal, pstate, k_plan)
+      state, ts = step(state, action)
+      n_steps += 1
+      if bool(ts.last()) or n_steps >= 310:
+        break
+    solved = bool(int(state.task.successes) >= 1)
+    err = float(state.task.goal_distance[0])
+    solved_flags.append(solved)
+    steps_taken.append(n_steps)
+    final_err.append(err)
+    fell = bool(state.task.failure_termination)
+    print(f'goal {g:2d}: solved={int(solved)} steps={n_steps:3d} '
+          f'final_err={err:.3f} rad fell={int(fell)}', flush=True)
+
+  rate = float(np.mean(solved_flags))
+  summary = {
+      'goals': n_goals, 'success_rate': rate,
+      'mean_steps': float(np.mean(steps_taken)),
+      'mean_final_err_rad': float(np.mean(final_err)),
+      'median_final_err_rad': float(np.median(final_err)),
+      'config': {'samples': samples, 'horizon': horizon, 'knots': knots,
+                 'temperature': temp, 'noise': noise,
+                 'plan_substeps': plan_substeps, 'shaping': shaping_on,
+                 'seed': seed},
+      'wall_s': time.time() - t_start,
+      'backend': jax.default_backend(),
+  }
+  print(json.dumps(summary))
+
+
+if __name__ == '__main__':
+  main()
