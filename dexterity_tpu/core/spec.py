@@ -665,15 +665,27 @@ class ModelSpec:
         return True
       return False
 
+    # A mesh geom fitted as several primitives keeps the source name on
+    # part 0 and gets  __p{i}  siblings; explicit pairs naming the source
+    # expand over every part.
+    def named_parts(name):
+      ids = [geom_index[name]]
+      i = 1
+      while f'{name}__p{i}' in geom_index:
+        ids.append(geom_index[f'{name}__p{i}'])
+        i += 1
+      return ids
+
     pair_list = []
     seen = set()
     # Explicit pairs first (they override filtering).
     for p in self.pairs:
-      g1, g2 = geom_index[p.geom1], geom_index[p.geom2]
-      key = (min(g1, g2), max(g1, g2))
-      seen.add(key)
-      pair_list.append((g1, g2, p.condim, tuple(p.friction), tuple(p.solref),
-                        tuple(p.solimp), p.margin))
+      for g1 in named_parts(p.geom1):
+        for g2 in named_parts(p.geom2):
+          key = (min(g1, g2), max(g1, g2))
+          seen.add(key)
+          pair_list.append((g1, g2, p.condim, tuple(p.friction),
+                            tuple(p.solref), tuple(p.solimp), p.margin))
 
     for g1, g2 in itertools.combinations(range(len(geoms)), 2):
       key = (g1, g2)

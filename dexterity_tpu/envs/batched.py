@@ -44,3 +44,21 @@ class BatchedEnvironment:
 
     merged = jax.tree_util.tree_map(select, reset_state, new_state)
     return merged, ts
+
+  def step_with_metrics(self, state, actions, metrics):
+    """Like step(), additionally accumulating in-graph episode metrics
+    (utils.metrics.EpisodeMetrics) on the pre-reset terminal state."""
+    from dexterity_tpu.utils import metrics as metrics_lib
+    new_state, ts = self._step(state, actions)
+    done = ts.step_type == env_lib.StepType.LAST
+    metrics = metrics_lib.update(
+        metrics, ts.reward, done, new_state.task.successes)
+
+    reset_state, _ = self._reset(new_state.key)
+
+    def select(a, b):
+      shape = (-1,) + (1,) * (a.ndim - 1)
+      return jnp.where(done.reshape(shape), a, b)
+
+    merged = jax.tree_util.tree_map(select, reset_state, new_state)
+    return merged, ts, metrics

@@ -46,6 +46,14 @@ def export_for_conformance(spec: S.ModelSpec) -> str:
     for g in b.geoms:
       g.contype = 0
       g.conaffinity = 0
+      # The narrow phase collides cylinders as extent-matched capsules
+      # (collision_size); export that shape so both engines collide
+      # byte-identical geometry.  Inertia is unaffected for bodies with
+      # explicit <inertial> (all vendored hands).
+      if g.type == GeomType.CYLINDER:
+        g.type = GeomType.CAPSULE
+        g.size = np.array([g.size[0], max(g.size[1] - g.size[0], 1e-6),
+                           0.0])
       geoms[g.name] = g
   spec.pairs = []
   fr = np.asarray(model.pair_friction)

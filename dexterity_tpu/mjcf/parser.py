@@ -315,13 +315,18 @@ class MjcfParser:
       mesh_name = get('mesh')
       collidable = contype != 0 or conaffinity != 0
       if collidable and self.fit_collision_meshes:
-        fit = self._fit_mesh(mesh_name)
-        fpos = pos + S._quat_to_mat_np(quat) @ fit.pos
-        fquat = S._quat_mul_np(quat, fit.quat)
-        body.add_geom(name, type=fit.type,
-                      **{**common, 'pos': fpos, 'quat': fquat},
-                      mesh=mesh_name)
-        body.geoms[-1].size = fit.size.copy()
+        # One geom per fitted part; part 0 keeps the source geom name so
+        # name-based lookups (explicit pairs, masks, coloring) still
+        # resolve, extra parts get a  __p{i}  suffix (same name prefix, so
+        # prefix-based collision masks cover them too).
+        for i, fit in enumerate(self._fit_mesh(mesh_name)):
+          fpos = pos + S._quat_to_mat_np(quat) @ fit.pos
+          fquat = S._quat_mul_np(quat, fit.quat)
+          pname = name if i == 0 else f'{name}__p{i}'
+          body.add_geom(pname, type=fit.type,
+                        **{**common, 'pos': fpos, 'quat': fquat},
+                        mesh=mesh_name)
+          body.geoms[-1].size = fit.size.copy()
         return
       if self.discard_visual and not collidable:
         return
@@ -330,11 +335,12 @@ class MjcfParser:
       return
     body.add_geom(name, type=gtype, size=size, mesh=None, **common)
 
-  def _fit_mesh(self, mesh_name: str) -> primitive_fit.FittedPrimitive:
+  def _fit_mesh(self, mesh_name: str):
+    """Fitted primitive decomposition (list) for a collision mesh."""
     if mesh_name not in self._mesh_fit_cache:
       info = self.meshes[mesh_name]
       verts = stl.load_stl_vertices(info['file']) * info['scale']
-      self._mesh_fit_cache[mesh_name] = primitive_fit.fit_primitive(verts)
+      self._mesh_fit_cache[mesh_name] = primitive_fit.fit_primitives(verts)
     return self._mesh_fit_cache[mesh_name]
 
   def _parse_site(self, elem: ET.Element, body: S.BodySpec, d: _Defaults):

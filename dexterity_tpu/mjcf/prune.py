@@ -7,8 +7,9 @@ pairs are classified by their distance statistics:
 
   * never-close pairs (min distance over samples > `near`)  -> pruned;
   * always-overlapping pairs (penetrating in the reference pose and in
-    nearly all samples) -> pruned as primitive-fitting artifacts of
-    adjacent pieces (their meshes don't actually touch);
+    nearly all samples, or several mm deep in the median sampled pose) ->
+    pruned as primitive-fitting artifacts of adjacent pieces (their
+    meshes don't actually touch);
   * everything else stays as a candidate pair.
 
 Runs entirely on the framework's own batched FK + narrow phase (no MuJoCo
@@ -70,6 +71,7 @@ def pair_distance_stats(model: T.Model, num_samples: int = 256,
   pair_min = np.full(npair, np.inf)
   pair_d0 = np.full(npair, np.inf)
   pair_frac = np.zeros(npair)
+  pair_med = np.full(npair, np.inf)
   point_min = d.min(axis=0)
   point_d0 = d[0]
   per_sample_point = d
@@ -77,8 +79,10 @@ def pair_distance_stats(model: T.Model, num_samples: int = 256,
     rows = np.where(pair_of_row == p)[0]
     pair_min[p] = point_min[rows].min()
     pair_d0[p] = point_d0[rows].min()
-    pair_frac[p] = (per_sample_point[:, rows].min(axis=1) < 0).mean()
-  return pair_min, pair_d0, pair_frac
+    per_sample = per_sample_point[:, rows].min(axis=1)
+    pair_frac[p] = (per_sample < 0).mean()
+    pair_med[p] = np.median(per_sample)
+  return pair_min, pair_d0, pair_frac, pair_med
 
 
 def prune_spec_pairs(spec: S.ModelSpec, num_samples: int = 256,
@@ -86,7 +90,7 @@ def prune_spec_pairs(spec: S.ModelSpec, num_samples: int = 256,
                      seed: int = 0, verbose: bool = False) -> S.ModelSpec:
   """Computes the dropped-pair set and stores it on the spec."""
   model = spec.compile()
-  pair_min, pair_d0, pair_frac = pair_distance_stats(
+  pair_min, pair_d0, pair_frac, pair_med = pair_distance_stats(
       model, num_samples=num_samples, seed=seed)
 
   explicit = {tuple(sorted((p.geom1, p.geom2))) for p in spec.pairs}
@@ -101,7 +105,11 @@ def prune_spec_pairs(spec: S.ModelSpec, num_samples: int = 256,
     if pair_min[p] > near:
       n_far += 1
       dropped.add(key)
-    elif pair_d0[p] < 0 and pair_frac[p] >= overlap_frac:
+    elif ((pair_d0[p] < 0 and pair_frac[p] >= overlap_frac)
+          or (pair_med[p] < -0.003 and pair_frac[p] >= 0.9)):
+      # Second clause: pairs whose *typical* pose penetrates several mm
+      # are primitive-bloat artifacts of adjacent pieces (the source
+      # meshes never touch there), not genuine self-collision pairs.
       n_artifact += 1
       dropped.add(key)
   spec.pruned_pairs |= dropped

@@ -244,6 +244,21 @@ def pair_kernel_geoms(model: Model):
   return g1_out, g2_out
 
 
+def collision_size(model: Model) -> np.ndarray:
+  """Static per-geom sizes as seen by the narrow phase.
+
+  Cylinders are collided as capsules; the capsule half-length is shortened
+  by the radius so the total axial extent matches the cylinder
+  (2*(hl' + r) = 2*hl) instead of bloating each flat end by a full
+  hemisphere — the flat-end vs round-cap difference is then bounded by the
+  cap sagitta rather than the radius."""
+  size = np.array(jax.device_get(model.geom_size), dtype=np.float64)
+  for g in range(model.ngeom):
+    if model.geom_type[g] == int(GeomType.CYLINDER):
+      size[g, 1] = max(size[g, 1] - size[g, 0], 1e-6)
+  return size
+
+
 def _bounding_radius(model: Model) -> np.ndarray:
   """Static bounding-sphere radius per geom (planes get 0)."""
   size = np.asarray(jax.device_get(model.geom_size))
@@ -337,7 +352,7 @@ def collide_all(model: Model, data: Data) -> Data:
   groups, total_rows = _pair_groups(model)
   dtype = data.qpos.dtype
   radius = _bounding_radius(model)
-  size_np = np.asarray(jax.device_get(model.geom_size))
+  size_np = collision_size(model)
 
   from dexterity_tpu.core import types as T
   from dexterity_tpu.physics.collision import soa

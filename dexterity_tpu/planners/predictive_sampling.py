@@ -40,6 +40,12 @@ class PredictiveSamplingConfig:
   # this temperature (in units of the return spread); 0 keeps the argmax
   # (vanilla predictive sampling).
   temperature: float = 0.0
+  # Refinement iterations per solve (CEM-style): each iteration samples
+  # num_samples candidates around the current nominal, takes the
+  # best/weighted plan, and shrinks the noise by `noise_decay` for the
+  # next round.  Total rollouts = iterations * num_samples.
+  iterations: int = 1
+  noise_decay: float = 0.5
   # Physics fidelity for planning rollouts (MJPC-style reduced solver;
   # the Newton warmstart carries across substeps, so 2 iterations suffice
   # for planning-grade accuracy — MJPC itself plans with 1).
@@ -167,15 +173,12 @@ class PredictiveSampling:
     interp[np.arange(cfg.horizon), i0 + 1] = w
     return jnp.einsum('hk,nku->nhu', jnp.asarray(interp, self.dtype), knots)
 
-  def solve(self, data: T.Data, goal: jax.Array, pstate: PlannerState,
-            key: jax.Array):
-    """One MPC solve. Returns (action, new PlannerState)."""
+  def _one_iteration(self, data, goal, nominal, key, noise_mult):
+    """Sample around `nominal`, evaluate, return (plan, best_return)."""
     cfg = self.config
-    noise = self._sample_noise(key, cfg.num_samples - 1)
-    candidates = jnp.concatenate(
-        [pstate.nominal[None], pstate.nominal[None] + noise])
+    noise = self._sample_noise(key, cfg.num_samples - 1) * noise_mult
+    candidates = jnp.concatenate([nominal[None], nominal[None] + noise])
     candidates = jnp.clip(candidates, self._lo, self._hi)
-
     returns = jax.vmap(lambda a: self.rollout_return(data, goal, a))(
         candidates)
     best = jnp.argmax(returns)
@@ -185,13 +188,27 @@ class PredictiveSampling:
       spread = jnp.maximum(returns.max() - returns.min(), 1e-6)
       w = jax.nn.softmax((returns - returns.max())
                          / (cfg.temperature * spread))
-      best_seq = jnp.einsum('n,nhu->hu', w, candidates)
-      best_seq = jnp.clip(best_seq, self._lo, self._hi)
+      seq = jnp.einsum('n,nhu->hu', w, candidates)
+      seq = jnp.clip(seq, self._lo, self._hi)
     else:
-      best_seq = candidates[best]
+      seq = candidates[best]
+    return seq, returns[best]
+
+  def solve(self, data: T.Data, goal: jax.Array, pstate: PlannerState,
+            key: jax.Array):
+    """One MPC solve. Returns (action, new PlannerState)."""
+    cfg = self.config
+    best_seq = pstate.nominal
+    best_ret = jnp.asarray(-jnp.inf, self.dtype)
+    mult = 1.0
+    for _ in range(max(cfg.iterations, 1)):
+      key, sub = jax.random.split(key)
+      best_seq, best_ret = self._one_iteration(
+          data, goal, best_seq, sub, mult)
+      mult = mult * cfg.noise_decay
     # Receding horizon: shift, repeat last action.
     nominal = jnp.concatenate([best_seq[1:], best_seq[-1:]])
-    new_state = PlannerState(nominal=nominal, best_return=returns[best])
+    new_state = PlannerState(nominal=nominal, best_return=best_ret)
     return best_seq[0], new_state
 
   def action(self, env_state, pstate: PlannerState, key: jax.Array):

@@ -43,6 +43,8 @@ def main():
   noise = float(os.environ.get('NOISE', '0.2'))
   plan_substeps = (int(os.environ['PLAN_SUBSTEPS'])
                    if 'PLAN_SUBSTEPS' in os.environ else None)
+  iters = int(os.environ.get('ITERS', '1'))
+  noise_decay = float(os.environ.get('NOISE_DECAY', '0.5'))
   shaping_on = os.environ.get('SHAPING', '1') == '1'
   seed = int(os.environ.get('SEED', '0'))
 
@@ -53,20 +55,30 @@ def main():
   prop_body = task._prop_body
   spawn_center = jnp.asarray([0.0, -0.13, 0.16])
 
+  w_horiz = float(os.environ.get('SHAPE_HORIZ', '300'))
+  w_drop = float(os.environ.get('SHAPE_DROP', '2000'))
+  drop_margin = float(os.environ.get('SHAPE_MARGIN', '0.035'))
+  w_vel = float(os.environ.get('SHAPE_VEL', '0'))
+
   def keep_in_hand(model, data, goal):
     """Planning-only shaping: keep the cube over the palm and near the
     spawn height; discourages plans that fling or drop it."""
     del model, goal
     pos = data.xpos[prop_body]
     horiz = (pos[0] - spawn_center[0]) ** 2 + (pos[1] - spawn_center[1]) ** 2
-    low = jnp.maximum(spawn_center[2] - 0.035 - pos[2], 0.0)
-    return -300.0 * horiz - 2000.0 * low * low
+    low = jnp.maximum(spawn_center[2] - drop_margin - pos[2], 0.0)
+    r = -w_horiz * horiz - w_drop * low * low
+    if w_vel:
+      vel = data.cvel[prop_body, 3:]           # world-frame linear velocity
+      r = r - w_vel * jnp.sum(vel * vel)
+    return r
 
   planner = ps.PredictiveSampling(
       task,
       ps.PredictiveSamplingConfig(
           horizon=horizon, num_samples=samples, noise_scale=noise,
-          num_knots=knots, temperature=temp, plan_substeps=plan_substeps),
+          num_knots=knots, temperature=temp, plan_substeps=plan_substeps,
+          iterations=iters, noise_decay=noise_decay),
       extra_reward_fn=keep_in_hand if shaping_on else None)
 
   reset = jax.jit(env.reset)
@@ -106,6 +118,7 @@ def main():
       'config': {'samples': samples, 'horizon': horizon, 'knots': knots,
                  'temperature': temp, 'noise': noise,
                  'plan_substeps': plan_substeps, 'shaping': shaping_on,
+                 'iterations': iters, 'noise_decay': noise_decay,
                  'seed': seed},
       'wall_s': time.time() - t_start,
       'backend': jax.default_backend(),
