@@ -95,6 +95,12 @@ class Option:
   # pairs (by bounding-sphere distance) run the expensive narrow-phase
   # kernel each step. 0 = exhaustive (used by import-time pruning).
   midphase_cap: int = static_field(default=64)
+  # Tighter cap for groups whose first geom is a PLANE: in articulated
+  # scenes almost every body stays far above the ground, so very few
+  # plane pairs can be near simultaneously — and plane-box contributes 8
+  # slots per pair, so its cap dominates the contact slot count.
+  # 0 = use midphase_cap.
+  midphase_cap_plane: int = static_field(default=16)
   # Disables the constraint solver entirely (mjDSBL_CONSTRAINT analogue;
   # used by smooth-dynamics conformance tests).
   disable_constraint: bool = static_field(default=False)
@@ -392,8 +398,10 @@ def num_contact_points(model: Model) -> int:
     key = tuple(sorted((t1, t2)))
     groups[key] = groups.get(key, 0) + 1
   cap = model.opt.midphase_cap
+  cap_plane = getattr(model.opt, 'midphase_cap_plane', 0) or cap
   n = 0
   for (t1, t2), count in groups.items():
-    m = count if cap == 0 else min(count, cap)
+    gcap = cap_plane if (cap and t1 == int(GeomType.PLANE)) else cap
+    m = count if cap == 0 else min(count, gcap)
     n += m * max_points_per_pair(t1, t2)
   return max(n, 1)

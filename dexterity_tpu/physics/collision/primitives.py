@@ -214,11 +214,13 @@ def _pair_groups(model: Model):
     grp['g1'].append(g1)
     grp['g2'].append(g2)
   cap = model.opt.midphase_cap
+  cap_plane = getattr(model.opt, 'midphase_cap_plane', 0) or cap
   row = 0
   for key in groups:
     grp = groups[key]
     n = len(grp['pair'])
-    m = n if cap == 0 else min(n, cap)
+    gcap = cap_plane if (cap and key[0] == GeomType.PLANE) else cap
+    m = n if cap == 0 else min(n, gcap)
     _, k = _KERNELS[key]
     grp['m'] = m
     grp['k'] = k

@@ -46,6 +46,11 @@ class PredictiveSamplingConfig:
   # next round.  Total rollouts = iterations * num_samples.
   iterations: int = 1
   noise_decay: float = 0.5
+  # One-time penalty applied in the rollout at the step the task's failure
+  # predicate first fires (e.g. the reorient cube hitting the ground).
+  # Zeroed future rewards alone under-penalize dropping when the per-step
+  # reward is small relative to a lucky rotation's payoff.
+  failure_penalty: float = 0.0
   # Physics fidelity for planning rollouts (MJPC-style reduced solver;
   # the Newton warmstart carries across substeps, so 2 iterations suffice
   # for planning-grade accuracy — MJPC itself plans with 1).
@@ -141,9 +146,10 @@ class PredictiveSampling:
       r = self.task.get_reward(model, d, tstate)
       if self.extra_reward_fn is not None:
         r = r + self.extra_reward_fn(model, d, goal)
-      alive = alive & ~self.task.failure_termination(model, d)
-      r = jnp.where(alive, r, 0.0)
-      return (d, alive), r
+      alive_after = alive & ~self.task.failure_termination(model, d)
+      r = jnp.where(alive_after, r,
+                    jnp.where(alive, -self.config.failure_penalty, 0.0))
+      return (d, alive_after), r
 
     # `alive` starts True but must inherit data's varying-axes metadata so
     # the scan carry typechecks inside shard_map population sharding

@@ -45,6 +45,9 @@ def main():
                    if 'PLAN_SUBSTEPS' in os.environ else None)
   iters = int(os.environ.get('ITERS', '1'))
   noise_decay = float(os.environ.get('NOISE_DECAY', '0.5'))
+  fail_pen = float(os.environ.get('FAIL_PEN', '0'))
+  p_solver = int(os.environ.get('PLAN_SOLVER_ITS', '2'))
+  p_ls = int(os.environ.get('PLAN_LS_ITS', '3'))
   shaping_on = os.environ.get('SHAPING', '1') == '1'
   seed = int(os.environ.get('SEED', '0'))
 
@@ -78,7 +81,9 @@ def main():
       ps.PredictiveSamplingConfig(
           horizon=horizon, num_samples=samples, noise_scale=noise,
           num_knots=knots, temperature=temp, plan_substeps=plan_substeps,
-          iterations=iters, noise_decay=noise_decay),
+          iterations=iters, noise_decay=noise_decay,
+          failure_penalty=fail_pen, solver_iterations=p_solver,
+          ls_iterations=p_ls),
       extra_reward_fn=keep_in_hand if shaping_on else None)
 
   reset = jax.jit(env.reset)
@@ -119,7 +124,8 @@ def main():
                  'temperature': temp, 'noise': noise,
                  'plan_substeps': plan_substeps, 'shaping': shaping_on,
                  'iterations': iters, 'noise_decay': noise_decay,
-                 'seed': seed},
+                 'failure_penalty': fail_pen,
+                 'solver_its': [p_solver, p_ls], 'seed': seed},
       'wall_s': time.time() - t_start,
       'backend': jax.default_backend(),
   }

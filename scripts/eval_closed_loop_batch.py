@@ -1,0 +1,140 @@
+"""Batched closed-loop reorient MPC evaluation: G goals in parallel.
+
+Same success criterion as scripts/eval_closed_loop.py (0.1 rad within
+300 control steps, fall = failure) but all G goal-episodes run lockstep as
+one vmapped jitted scan — every control step plans G x num_samples
+rollouts on-device.  Finished episodes are frozen in place.  ~10x faster
+wall-clock than the sequential evaluator and gives tighter confidence
+intervals per TPU-hour.
+
+Knobs (env vars): GOALS (32) SAMPLES (256) HORIZON (10) KNOTS (4)
+  TEMP NOISE ITERS NOISE_DECAY FAIL_PEN PLAN_SUBSTEPS SHAPING
+  SHAPE_HORIZ SHAPE_DROP SHAPE_MARGIN SHAPE_VEL STEPS (300) SEED
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+os.makedirs('/tmp/dexterity_tpu_jax_cache', exist_ok=True)
+jax.config.update('jax_compilation_cache_dir', '/tmp/dexterity_tpu_jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
+
+
+def main():
+  from dexterity_tpu import manipulation
+  from dexterity_tpu.planners import predictive_sampling as ps
+
+  g_envs = int(os.environ.get('GOALS', '32'))
+  samples = int(os.environ.get('SAMPLES', '256'))
+  horizon = int(os.environ.get('HORIZON', '10'))
+  knots = int(os.environ.get('KNOTS', '4'))
+  temp = float(os.environ.get('TEMP', '0.0'))
+  noise = float(os.environ.get('NOISE', '0.2'))
+  iters = int(os.environ.get('ITERS', '2'))
+  noise_decay = float(os.environ.get('NOISE_DECAY', '0.5'))
+  fail_pen = float(os.environ.get('FAIL_PEN', '0'))
+  plan_substeps = (int(os.environ['PLAN_SUBSTEPS'])
+                   if 'PLAN_SUBSTEPS' in os.environ else None)
+  shaping_on = os.environ.get('SHAPING', '1') == '1'
+  n_steps = int(os.environ.get('STEPS', '300'))
+  seed = int(os.environ.get('SEED', '0'))
+
+  task = manipulation.build_task('reorient', 'state_dense')
+  env = manipulation._environment.GoalEnvironment(task)
+  model = task.compile()
+  task.after_compile(model)
+  prop_body = task._prop_body
+  spawn_center = jnp.asarray([0.0, -0.13, 0.16])
+  w_horiz = float(os.environ.get('SHAPE_HORIZ', '300'))
+  w_drop = float(os.environ.get('SHAPE_DROP', '2000'))
+  drop_margin = float(os.environ.get('SHAPE_MARGIN', '0.035'))
+  w_vel = float(os.environ.get('SHAPE_VEL', '0'))
+
+  def keep_in_hand(model, data, goal):
+    del model, goal
+    pos = data.xpos[prop_body]
+    horiz = (pos[0] - spawn_center[0]) ** 2 + (pos[1] - spawn_center[1]) ** 2
+    low = jnp.maximum(spawn_center[2] - drop_margin - pos[2], 0.0)
+    r = -w_horiz * horiz - w_drop * low * low
+    if w_vel:
+      vel = data.cvel[prop_body, 3:]
+      r = r - w_vel * jnp.sum(vel * vel)
+    return r
+
+  planner = ps.PredictiveSampling(
+      task,
+      ps.PredictiveSamplingConfig(
+          horizon=horizon, num_samples=samples, noise_scale=noise,
+          num_knots=knots, temperature=temp, plan_substeps=plan_substeps,
+          iterations=iters, noise_decay=noise_decay,
+          failure_penalty=fail_pen),
+      extra_reward_fn=keep_in_hand if shaping_on else None)
+
+  @jax.jit
+  def run(key):
+    keys = jax.random.split(key, g_envs + 1)
+    state, _ = jax.vmap(env.reset)(keys[1:])
+    pstate = jax.vmap(lambda _: planner.init_state())(jnp.arange(g_envs))
+    done = jnp.zeros(g_envs, bool)
+    solved = jnp.zeros(g_envs, bool)
+    steps_to_solve = jnp.full(g_envs, n_steps, jnp.int32)
+
+    def control_step(carry, i):
+      state, pstate, key, done, solved, stepsolve = carry
+      key, sub = jax.random.split(key)
+      ks = jax.random.split(sub, g_envs)
+      action, pstate2 = jax.vmap(planner.solve)(
+          state.data, state.task.goal, pstate, ks)
+      state2, ts = jax.vmap(env.step)(state, action)
+      ended = ts.step_type == 2
+      newly_solved = ~done & ended & (state2.task.successes >= 1)
+      solved = solved | newly_solved
+      stepsolve = jnp.where(newly_solved, i + 1, stepsolve)
+      newly_done = done | ended
+      # Freeze finished episodes (keep their terminal state).
+      keep = lambda a, b: jnp.where(
+          done.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
+      state = jax.tree_util.tree_map(keep, state, state2)
+      pstate = jax.tree_util.tree_map(keep, pstate, pstate2)
+      return (state, pstate, key, newly_done, solved, stepsolve), ()
+
+    carry = (state, pstate, keys[0], done, solved, steps_to_solve)
+    carry, _ = jax.lax.scan(control_step, carry, jnp.arange(n_steps))
+    state, _, _, done, solved, stepsolve = carry
+    return solved, done, stepsolve, state.task.goal_distance[:, 0], \
+        state.task.failure_termination
+
+  t0 = time.time()
+  solved, done, stepsolve, err, fell = run(jax.random.PRNGKey(seed))
+  jax.block_until_ready(solved)
+  wall = time.time() - t0
+  solved = np.asarray(solved)
+  rate = float(solved.mean())
+  summary = {
+      'goals': g_envs, 'success_rate': rate,
+      'fell_rate': float(np.asarray(fell).mean()),
+      'mean_steps_solved': float(np.asarray(stepsolve)[solved].mean())
+      if solved.any() else None,
+      'median_final_err_rad': float(np.median(np.asarray(err))),
+      'config': {'samples': samples, 'horizon': horizon, 'knots': knots,
+                 'temperature': temp, 'noise': noise, 'iterations': iters,
+                 'noise_decay': noise_decay, 'failure_penalty': fail_pen,
+                 'plan_substeps': plan_substeps, 'shaping': shaping_on,
+                 'shape': [w_horiz, w_drop, drop_margin, w_vel],
+                 'steps': n_steps, 'seed': seed},
+      'wall_s': wall, 'backend': jax.default_backend(),
+  }
+  print(json.dumps(summary), flush=True)
+
+
+if __name__ == '__main__':
+  main()
