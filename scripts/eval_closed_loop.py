@@ -7,9 +7,11 @@ counts as solved when the orientation error drops to <= 0.1 rad within
 falls (prop-ground contact).  Each episode is one goal
 (successes_needed=1), so N consecutive episodes = N consecutive goals.
 
-Env-var knobs:
-  GOALS (20)  SAMPLES (512)  HORIZON (10)  KNOTS (4)  TEMP (0.0)
-  NOISE (0.2)  PLAN_SUBSTEPS (unset = task default 5)  SHAPING (1)
+Env-var knobs (defaults = the measured 50/50 config,
+EVAL_CLOSED_LOOP_r02.json):
+  GOALS (20)  SAMPLES (256)  ITERS (2)  HORIZON (10)  KNOTS (4)
+  TEMP (0.0)  NOISE (0.2)  FAIL_PEN (30)  PLAN_SOLVER_ITS (4)
+  PLAN_LS_ITS (6)  PLAN_SUBSTEPS (unset = task default 5)  SHAPING (1)
   SEED (0)
 
 Prints one summary line per goal and a final JSON summary.
@@ -36,18 +38,18 @@ def main():
   from dexterity_tpu.planners import predictive_sampling as ps
 
   n_goals = int(os.environ.get('GOALS', '20'))
-  samples = int(os.environ.get('SAMPLES', '512'))
+  samples = int(os.environ.get('SAMPLES', '256'))
   horizon = int(os.environ.get('HORIZON', '10'))
   knots = int(os.environ.get('KNOTS', '4'))
   temp = float(os.environ.get('TEMP', '0.0'))
   noise = float(os.environ.get('NOISE', '0.2'))
   plan_substeps = (int(os.environ['PLAN_SUBSTEPS'])
                    if 'PLAN_SUBSTEPS' in os.environ else None)
-  iters = int(os.environ.get('ITERS', '1'))
+  iters = int(os.environ.get('ITERS', '2'))
   noise_decay = float(os.environ.get('NOISE_DECAY', '0.5'))
-  fail_pen = float(os.environ.get('FAIL_PEN', '0'))
-  p_solver = int(os.environ.get('PLAN_SOLVER_ITS', '2'))
-  p_ls = int(os.environ.get('PLAN_LS_ITS', '3'))
+  fail_pen = float(os.environ.get('FAIL_PEN', '30'))
+  p_solver = int(os.environ.get('PLAN_SOLVER_ITS', '4'))
+  p_ls = int(os.environ.get('PLAN_LS_ITS', '6'))
   shaping_on = os.environ.get('SHAPING', '1') == '1'
   seed = int(os.environ.get('SEED', '0'))
 
