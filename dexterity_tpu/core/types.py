@@ -255,15 +255,16 @@ class Contact:
   scalar component is its own (npoint,) plane, so downstream math stays
   elementwise over the lane-sized slot axis and XLA never relayouts tiny
   minor dims.  With the midphase (Option.midphase_cap > 0) the pair
-  occupying a slot is dynamic, so every per-pair parameter the constraint
-  stage needs rides along as a `param` plane (selected by the same one-hot
-  contraction as the geometry — no per-slot parameter gathers later).
-  """
+  occupying a slot is dynamic; only the margin (needed for top-K scoring)
+  rides along per slot — the remaining pair parameters are resolved in the
+  constraint stage by a one-hot contraction of the selected slots' pair
+  ids against the static (NPARAM, npair) table (constant MXU operand, so
+  nothing pair-parameter-sized is ever materialized per env)."""
   dist: jax.Array      # (npoint,) signed distance (penetration < 0)
   pos: jax.Array       # (3, npoint) midpoint position planes
   frame: jax.Array     # (9, npoint) planes: normal, tangent1, tangent2
   pair: jax.Array      # (npoint,) int32 candidate-pair index (-1 unused)
-  param: jax.Array     # (NPARAM, npoint) per-slot pair parameters
+  margin: jax.Array    # (npoint,) pair margin (for top-K scoring)
 
 
 @pytree_dataclass
@@ -361,7 +362,7 @@ def make_data(model: Model, dtype=None) -> Data:
               jnp.asarray(np.eye(3).reshape(9, 1), dtype=dtype),
               (9, npoint)),
           pair=-jnp.ones((npoint,), jnp.int32),
-          param=z(NPARAM, npoint),
+          margin=z(npoint),
       ),
   )
 

@@ -170,6 +170,15 @@ class ReOrient(task_lib.GoalTask):
       return jnp.asarray(False)
     return collisions.has_collision(data, self._fall_mask)
 
+  def rollout_failure(self, model, data):
+    """Position-level fall proxy for planner rollouts: the prop's center
+    below 2x its size means it left the hand and is about to hit the
+    ground (the exact predicate needs contact data, which rollout steps
+    don't refresh)."""
+    if not self._fall_termination:
+      return jnp.asarray(False)
+    return data.xpos[self._prop_body, 2] < 2.0 * _PROP_SIZE
+
   def get_reward(self, model, data, task_state):
     """Shaped reorientation reward (reference: reorient.py:238-284)."""
     distance = task_state.goal_distance[0]

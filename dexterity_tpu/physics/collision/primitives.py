@@ -347,16 +347,17 @@ def collide_all(model: Model, data: Data) -> Data:
   TPU layout strategy: all per-pair inputs are component planes (one
   (npairs,) array per scalar) built by static constant-index gathers from
   12 per-geom planes; the midphase top-m selection is a one-hot MXU
-  contraction (onehot_select), never a per-env dynamic gather.  Per-slot
-  pair parameters ride along through the same selection and are stored in
-  Contact.param so the constraint stage needs no pair lookups at all.
+  contraction (onehot_select), never a per-env dynamic gather.  Only the
+  pair margin rides along per slot (top-K scoring needs it); every other
+  pair parameter is resolved later in the constraint stage from the
+  static pair table, so nothing parameter-sized is materialized per env.
   """
   groups, total_rows = _pair_groups(model)
   dtype = data.qpos.dtype
   radius = _bounding_radius(model)
   size_np = collision_size(model)
+  margin_np = np.asarray(jax.device_get(model.pair_margin))
 
-  from dexterity_tpu.core import types as T
   from dexterity_tpu.physics.collision import soa
   # Per-geom component planes (ngeom,).
   gpos = tuple(data.geom_xpos[:, c] for c in range(3))
@@ -366,7 +367,7 @@ def collide_all(model: Model, data: Data) -> Data:
   vary_zero = data.qpos[0] * 0
 
   d_pl, pos_pl, n_pl, t1_pl, t2_pl = [], [], [], [], []
-  pair_ids, par_pl = [], []
+  pair_ids, mar_pl = [], []
   for (t1g, t2g), grp in groups.items():
     if (t1g, t2g) not in _KERNELS:
       raise NotImplementedError(f'no collision kernel for {t1g} vs {t2g}')
@@ -376,7 +377,6 @@ def collide_all(model: Model, data: Data) -> Data:
     g2 = np.asarray(grp['g2'], np.int32)
     pair_np = np.asarray(grp['pair'], np.int32)
     n = len(g1)
-    params_np = _pair_param_planes(model, pair_np)      # (NPARAM, n)
 
     # Full-width pair payload (static constant-index gathers; cheap).
     p1 = tuple(gpos[c][g1] for c in range(3))
@@ -399,7 +399,8 @@ def collide_all(model: Model, data: Data) -> Data:
       dyn = onehot_select(sel, jnp.stack(p1 + p2 + m1_ + m2_))
       stat = onehot_select(sel, jnp.asarray(np.concatenate([
           size_np[g1].T, size_np[g2].T,
-          pair_np[None].astype(np.float64), params_np]), dtype)
+          pair_np[None].astype(np.float64),
+          margin_np[pair_np][None]]), dtype)
           + vary_zero)
       p1 = tuple(dyn[0:3])
       p2 = tuple(dyn[3:6])
@@ -408,12 +409,12 @@ def collide_all(model: Model, data: Data) -> Data:
       s1 = tuple(stat[0:3])
       s2 = tuple(stat[3:6])
       pid = jnp.round(stat[6]).astype(jnp.int32)
-      par = stat[7:]
+      mar = stat[7]
     else:
       s1 = tuple(jnp.asarray(size_np[g1, c], dtype) for c in range(3))
       s2 = tuple(jnp.asarray(size_np[g2, c], dtype) for c in range(3))
       pid = jnp.asarray(pair_np) + vary_zero.astype(jnp.int32)
-      par = jnp.asarray(params_np, dtype) + vary_zero
+      mar = jnp.asarray(margin_np[pair_np], dtype) + vary_zero
 
     sfn, sk = soa.KERNELS[(t1g, t2g)]
     assert sk == k
@@ -425,7 +426,7 @@ def collide_all(model: Model, data: Data) -> Data:
     t1_pl.append(tuple(c.reshape(-1) for c in tt1))
     t2_pl.append(tuple(c.reshape(-1) for c in tt2))
     pair_ids.append(jnp.tile(pid, k))                  # rows are slot-major
-    par_pl.append(jnp.tile(par, (1, k)))               # matching tiling
+    mar_pl.append(jnp.tile(mar, k))                    # matching tiling
 
   if not d_pl:
     contact = Contact(
@@ -433,7 +434,7 @@ def collide_all(model: Model, data: Data) -> Data:
         pos=jnp.zeros((3, 1), dtype),
         frame=jnp.asarray(np.eye(3).reshape(9, 1), dtype),
         pair=-jnp.ones((1,), jnp.int32),
-        param=jnp.zeros((T.NPARAM, 1), dtype))
+        margin=jnp.zeros((1,), dtype))
     return data.replace(contact=contact)
 
   def catc(plane_tuples, c):
@@ -445,6 +446,6 @@ def collide_all(model: Model, data: Data) -> Data:
   contact = Contact(dist=jnp.concatenate(d_pl),
                     pos=pos, frame=frame,
                     pair=jnp.concatenate(pair_ids).astype(jnp.int32),
-                    param=jnp.concatenate(par_pl, axis=-1))
+                    margin=jnp.concatenate(mar_pl))
   assert contact.dist.shape[0] == total_rows == num_contact_points(model)
   return data.replace(contact=contact)

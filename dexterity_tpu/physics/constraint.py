@@ -390,14 +390,16 @@ def _contact_rows(model: Model, data: Data, dtype):
   impedance.
 
   TPU structure: the top-K residual comes straight from the top_k values
-  (no gather); the selected geometry and pair parameters arrive through
-  one one-hot MXU contraction over the Contact planes; body ancestor masks
-  are resolved with a second tiny one-hot over nbody; and the directional
-  jacobians are (k,3)x(3,nv) matmuls — the whole stage has no per-env
-  dynamic gathers.
+  (no gather); the selected geometry arrives through one one-hot MXU
+  contraction over the Contact planes; the selected slots' pair ids are
+  resolved to parameters by a second one-hot against the static
+  (NPARAM, npair) table (constant MXU operand); body ancestor masks use a
+  tiny one-hot over nbody; and the directional jacobians are
+  (k,3)x(3,nv) matmuls — the whole stage has no per-env dynamic gathers.
   """
   from dexterity_tpu.core import types as T
-  from dexterity_tpu.physics.collision.primitives import onehot_select
+  from dexterity_tpu.physics.collision.primitives import (
+      _pair_param_planes, onehot_select)
   if model.npair == 0:
     z = jnp.zeros((0,), dtype)
     return jnp.zeros((0, model.nv), dtype), z, z, z
@@ -408,25 +410,34 @@ def _contact_rows(model: Model, data: Data, dtype):
   k_sel = min(model.opt.contact_top_k, npoint)
   max_condim = max(model.pair_condim) if model.npair else 1
 
-  score = c.dist - c.param[T.PARAM_MARGIN]              # (npoint,)
+  score = c.dist - c.margin                             # (npoint,)
   neg_score, sel = jax.lax.top_k(-score, k_sel)         # deepest first
   score_sel = -neg_score
   active = score_sel < 0
   r = jnp.minimum(score_sel, 0.0)
 
-  payload = jnp.concatenate([c.pos, c.frame, c.param[1:]], axis=0)
-  selp = onehot_select(sel, payload)                    # (26, k)
+  payload = jnp.concatenate(
+      [c.pos, c.frame,
+       jnp.maximum(c.pair, 0).astype(dtype)[None]], axis=0)
+  selp = onehot_select(sel, payload)                    # (13, k)
   pos = selp[0:3]                                       # (3, k) planes
   nrm = selp[3:6]
   t1d = selp[6:9]
   t2d = selp[9:12]
-  solref = selp[12:14].T                                # (k, 2)
-  solimp = selp[14:19].T                                # (k, 5)
-  mu3 = selp[19:22]                                     # (3, k)
-  condim = selp[22]
-  b1 = jnp.round(selp[23]).astype(jnp.int32)
-  b2 = jnp.round(selp[24]).astype(jnp.int32)
-  iw_t = selp[25]
+  pid = jnp.round(selp[12]).astype(jnp.int32)           # (k,) pair ids
+
+  # Pair parameters from the static table (constant operand — nothing
+  # parameter-sized ever exists per env/slot).
+  table = jnp.asarray(
+      _pair_param_planes(model, np.arange(model.npair)), dtype)
+  par = onehot_select(pid, table)                       # (NPARAM, k)
+  solref = par[T.PARAM_SOLREF].T                        # (k, 2)
+  solimp = par[T.PARAM_SOLIMP].T                        # (k, 5)
+  mu3 = par[T.PARAM_FRICTION]                           # (3, k)
+  condim = par[T.PARAM_CONDIM]
+  b1 = jnp.round(par[T.PARAM_BODY1]).astype(jnp.int32)
+  b2 = jnp.round(par[T.PARAM_BODY2]).astype(jnp.int32)
+  iw_t = par[T.PARAM_IW]
 
   # mask[b2] - mask[b1] via one-hot over nbody (nbody is tiny).
   mask = jnp.asarray(kinematics.ancestor_mask(model), dtype=dtype)

@@ -65,16 +65,22 @@ _STEP_CARRY = ('time', 'qpos', 'qvel', 'qacc', 'qacc_smooth', 'qfrc_bias',
                'actuator_velocity', 'actuator_force')
 
 
-def step_n(model: Model, data: Data, n: int) -> Data:
+def step_n(model: Model, data: Data, n: int,
+           refresh: str = 'full') -> Data:
   """n physics substeps under lax.scan (control_dt / physics_dt).
 
   Only the minimal state rides the scan carry — the large derived products
   (frames, contacts, mass matrix) stay out of the loop, which keeps the
-  carry small and lets XLA fuse freely.  After the scan, position and
-  velocity kinematics plus collision are refreshed once (MuJoCo
-  mj_step1-style), so observables / rewards / failure predicates read
-  quantities consistent with the post-step qpos instead of values one
-  substep stale.  (qM/qLD are NOT refreshed; re-run smooth.crb if needed.)
+  carry small and lets XLA fuse freely.  After the scan, derived
+  quantities are refreshed once (MuJoCo mj_step1-style), so observables /
+  rewards / failure predicates read quantities consistent with the
+  post-step qpos instead of values one substep stale.  (qM/qLD are NOT
+  refreshed; re-run smooth.crb if needed.)
+
+  refresh:
+    'full' — position + collision + velocity kinematics (env contract).
+    'position' — frames/sites only; the cheap mode for planner rollouts
+      whose rewards are position-level (contacts and cvel stay stale).
   """
   def body(carry, _):
     d = step(model, data.replace(**carry))
@@ -84,6 +90,8 @@ def step_n(model: Model, data: Data, n: int) -> Data:
   carry, _ = jax.lax.scan(body, carry0, (), length=n)
   data = data.replace(**carry)
   data = kinematics.fwd_position(model, data)
+  if refresh == 'position':
+    return data
   from dexterity_tpu.physics.collision import narrowphase
   data = narrowphase.collision(model, data)
   data = kinematics.fwd_velocity_kinematics(model, data)

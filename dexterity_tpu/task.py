@@ -106,6 +106,13 @@ class Task:
     del model, data
     return jnp.asarray(False)
 
+  def rollout_failure(self, model, data):
+    """Failure predicate for *planner rollouts*: may be a cheap
+    position-level proxy of failure_termination (rollouts refresh only
+    position kinematics, so contact-based predicates are unavailable).
+    Defaults to the exact predicate."""
+    return self.failure_termination(model, data)
+
   def on_goal_update(self, model, data, task_state):
     """Hook after a goal is (re)sampled — e.g. move visual hint bodies."""
     del model, task_state
