@@ -342,6 +342,15 @@ def onehot_select(sel: jax.Array, planes: jax.Array) -> jax.Array:
 
 
 def collide_all(model: Model, data: Data) -> Data:
+  """Narrow phase from AoS geom frames (refresh/conformance path)."""
+  gpos = tuple(data.geom_xpos[:, c] for c in range(3))
+  gmat = tuple(data.geom_xmat[:, i, j] for i in range(3) for j in range(3))
+  contact = collide_planes(model, gpos, gmat, data.qpos[0] * 0,
+                           data.qpos.dtype)
+  return data.replace(contact=contact)
+
+
+def collide_planes(model: Model, gpos, gmat, vary_zero, dtype) -> Contact:
   """Narrow phase over candidate pairs, optionally midphase-capped.
 
   TPU layout strategy: all per-pair inputs are component planes (one
@@ -351,20 +360,20 @@ def collide_all(model: Model, data: Data) -> Data:
   pair margin rides along per slot (top-K scoring needs it); every other
   pair parameter is resolved later in the constraint stage from the
   static pair table, so nothing parameter-sized is materialized per env.
+
+  Args:
+    gpos: 3-tuple of (ngeom,) world-position planes.
+    gmat: row-major 9-tuple of (ngeom,) rotation planes.
+    vary_zero: a traced scalar zero tied to the state — keeps
+      constant-derived planes varying-type-uniform across scan carries
+      under shard_map.
   """
   groups, total_rows = _pair_groups(model)
-  dtype = data.qpos.dtype
   radius = _bounding_radius(model)
   size_np = collision_size(model)
   margin_np = np.asarray(jax.device_get(model.pair_margin))
 
   from dexterity_tpu.physics.collision import soa
-  # Per-geom component planes (ngeom,).
-  gpos = tuple(data.geom_xpos[:, c] for c in range(3))
-  gmat = tuple(data.geom_xmat[:, i, j] for i in range(3) for j in range(3))
-  # Non-constant zero tied to the data: keeps constant-derived planes
-  # varying-type-uniform across scan carries under shard_map.
-  vary_zero = data.qpos[0] * 0
 
   d_pl, pos_pl, n_pl, t1_pl, t2_pl = [], [], [], [], []
   pair_ids, mar_pl = [], []
@@ -429,13 +438,12 @@ def collide_all(model: Model, data: Data) -> Data:
     mar_pl.append(jnp.tile(mar, k))                    # matching tiling
 
   if not d_pl:
-    contact = Contact(
+    return Contact(
         dist=jnp.full((1,), _BIG, dtype),
         pos=jnp.zeros((3, 1), dtype),
         frame=jnp.asarray(np.eye(3).reshape(9, 1), dtype),
         pair=-jnp.ones((1,), jnp.int32),
         margin=jnp.zeros((1,), dtype))
-    return data.replace(contact=contact)
 
   def catc(plane_tuples, c):
     return jnp.concatenate([t[c] for t in plane_tuples])
@@ -448,4 +456,4 @@ def collide_all(model: Model, data: Data) -> Data:
                     pair=jnp.concatenate(pair_ids).astype(jnp.int32),
                     margin=jnp.concatenate(mar_pl))
   assert contact.dist.shape[0] == total_rows == num_contact_points(model)
-  return data.replace(contact=contact)
+  return contact

@@ -67,6 +67,205 @@ def _joint_class_tables(model: Model):
   return out
 
 
+def body_poses_planes(model: Model, qpos: jax.Array, mocap_pos, mocap_quat):
+  """Plane-form FK: world body poses and dof axes, no AoS tensors.
+
+  Returns (xpos_p, xquat_p, cdof6): stacked component-plane arrays of
+  shape (3, nbody), (4, nbody) and (6, nv) (rows [ang, lin]).  Under vmap
+  the minor axis is the body/dof count, so the whole tree sweep is
+  full-width elementwise VPU work — none of the (B, nbody, 3, …) tiles
+  whose 3-wide minor dims waste ~97% of each (8, 128) vector register
+  (the dominant round-2 substep cost; see physics/math.py plane note).
+
+  Same pointer-jumping composition as the AoS path (equality verified in
+  tests/test_hot_step.py); replaces mj_kinematics for the hot substep.
+  """
+  from dexterity_tpu.physics import tree
+  dtype = qpos.dtype
+  nbody = model.nbody
+  cls = _joint_class_tables(model)
+
+  def consts(a, idx=None):
+    a = a.astype(dtype) if hasattr(a, 'astype') else jnp.asarray(a, dtype)
+    if idx is not None:
+      a = a[idx]
+    return tuple(a[..., c] for c in range(a.shape[-1]))
+
+  # Local pose planes per body (parent frame).
+  lpos = list(consts(model.body_pos))
+  lquat = list(consts(model.body_quat))
+
+  def at_set(planes, b, vals):
+    return [p.at[b].set(v) for p, v in zip(planes, vals)]
+
+  def at_add(planes, b, vals):
+    return [p.at[b].add(v) for p, v in zip(planes, vals)]
+
+  def gather(planes, b):
+    return tuple(p[b] for p in planes)
+
+  t = cls[JointType.HINGE]
+  if len(t['jids']):
+    q = qpos[t['qadr']]
+    axis = consts(model.jnt_axis, t['jids'])
+    jpos = consts(model.jnt_pos, t['jids'])
+    half = 0.5 * q
+    s = jnp.sin(half)
+    dq = (jnp.cos(half), axis[0] * s, axis[1] * s, axis[2] * s)
+    rj = tmath.quat_rotate_p(dq, jpos)
+    pos_l = (jpos[0] - rj[0], jpos[1] - rj[1], jpos[2] - rj[2])
+    b = t['body']
+    qb = gather(lquat, b)
+    lpos = at_add(lpos, b, tmath.quat_rotate_p(qb, pos_l))
+    lquat = at_set(lquat, b, tmath.quat_mul_p(qb, dq))
+
+  t = cls[JointType.SLIDE]
+  if len(t['jids']):
+    q = qpos[t['qadr']]
+    axis = consts(model.jnt_axis, t['jids'])
+    b = t['body']
+    qb = gather(lquat, b)
+    lpos = at_add(lpos, b, tmath.quat_rotate_p(
+        qb, (axis[0] * q, axis[1] * q, axis[2] * q)))
+
+  t = cls[JointType.BALL]
+  if len(t['jids']):
+    qadr = t['qadr']
+    dq = tmath.quat_normalize_p(tuple(qpos[qadr + i] for i in range(4)))
+    jpos = consts(model.jnt_pos, t['jids'])
+    rj = tmath.quat_rotate_p(dq, jpos)
+    pos_l = (jpos[0] - rj[0], jpos[1] - rj[1], jpos[2] - rj[2])
+    b = t['body']
+    qb = gather(lquat, b)
+    lpos = at_add(lpos, b, tmath.quat_rotate_p(qb, pos_l))
+    lquat = at_set(lquat, b, tmath.quat_mul_p(qb, dq))
+
+  t = cls[JointType.FREE]
+  if len(t['jids']):
+    qadr = t['qadr']
+    b = t['body']
+    lpos = at_set(lpos, b, tuple(qpos[qadr + i] for i in range(3)))
+    lquat = at_set(lquat, b, tmath.quat_normalize_p(
+        tuple(qpos[qadr + 3 + i] for i in range(4))))
+
+  mocap_body, mocap_id = cls['mocap']
+  if len(mocap_body):
+    lpos = at_set(lpos, mocap_body,
+                  tuple(mocap_pos[mocap_id, c].astype(dtype)
+                        for c in range(3)))
+    lquat = at_set(lquat, mocap_body,
+                   tuple(mocap_quat[mocap_id, c].astype(dtype)
+                         for c in range(4)))
+
+  # World row stays identity.
+  lpos = at_set(lpos, 0, (0.0, 0.0, 0.0))
+  lquat = at_set(lquat, 0, (1.0, 0.0, 0.0, 0.0))
+
+  # Pointer jumping.
+  for table in tree.jump_tables(model.body_parentid):
+    anc = np.asarray(table, np.int32)
+    qa = gather(lquat, anc)
+    rp = tmath.quat_rotate_p(qa, tuple(lpos))
+    lpos = [lp[anc] + r for lp, r in zip(lpos, rp)]
+    lquat = list(tmath.quat_mul_p(qa, tuple(lquat)))
+
+  xpos_t, xquat_t = tuple(lpos), tuple(lquat)
+
+  # cdof planes from final poses, per joint class.
+  ang = [jnp.zeros(model.nv, dtype) for _ in range(3)]
+  lin = [jnp.zeros(model.nv, dtype) for _ in range(3)]
+
+  def neg(v):
+    return (-v[0], -v[1], -v[2])
+
+  t = cls[JointType.HINGE]
+  if len(t['jids']):
+    b = t['body']
+    qb = gather(xquat_t, b)
+    pb = gather(xpos_t, b)
+    axis_w = tmath.quat_rotate_p(qb, consts(model.jnt_axis, t['jids']))
+    rj = tmath.quat_rotate_p(qb, consts(model.jnt_pos, t['jids']))
+    anchor = (pb[0] + rj[0], pb[1] + rj[1], pb[2] + rj[2])
+    lin_w = tmath.cross_p(axis_w, neg(anchor))
+    dadr = t['dadr']
+    ang = [p.at[dadr].set(v) for p, v in zip(ang, axis_w)]
+    lin = [p.at[dadr].set(v) for p, v in zip(lin, lin_w)]
+
+  t = cls[JointType.SLIDE]
+  if len(t['jids']):
+    b = t['body']
+    axis_w = tmath.quat_rotate_p(gather(xquat_t, b),
+                                 consts(model.jnt_axis, t['jids']))
+    dadr = t['dadr']
+    lin = [p.at[dadr].set(v) for p, v in zip(lin, axis_w)]
+
+  t = cls[JointType.BALL]
+  if len(t['jids']):
+    b = t['body']
+    qb = gather(xquat_t, b)
+    pb = gather(xpos_t, b)
+    mat = tmath.quat_to_mat_p(qb)
+    rj = tmath.quat_rotate_p(qb, consts(model.jnt_pos, t['jids']))
+    anchor = (pb[0] + rj[0], pb[1] + rj[1], pb[2] + rj[2])
+    for a in range(3):
+      axis_w = (mat[a], mat[3 + a], mat[6 + a])   # column a of R
+      lin_w = tmath.cross_p(axis_w, neg(anchor))
+      dadr = t['dadr'] + a
+      ang = [p.at[dadr].set(v) for p, v in zip(ang, axis_w)]
+      lin = [p.at[dadr].set(v) for p, v in zip(lin, lin_w)]
+
+  t = cls[JointType.FREE]
+  if len(t['jids']):
+    b = t['body']
+    qb = gather(xquat_t, b)
+    pb = gather(xpos_t, b)
+    mat = tmath.quat_to_mat_p(qb)
+    for a in range(3):
+      lin[a] = lin[a].at[t['dadr'] + a].set(1.0)
+    for a in range(3):
+      axis_w = (mat[a], mat[3 + a], mat[6 + a])
+      lin_w = tmath.cross_p(axis_w, neg(pb))
+      dadr = t['dadr'] + 3 + a
+      ang = [p.at[dadr].set(v) for p, v in zip(ang, axis_w)]
+      lin = [p.at[dadr].set(v) for p, v in zip(lin, lin_w)]
+
+  xpos_p = jnp.stack(xpos_t)                      # (3, nbody)
+  xquat_p = jnp.stack(xquat_t)                    # (4, nbody)
+  cdof6 = jnp.stack(ang + lin)                    # (6, nv) rows [ang, lin]
+  return xpos_p, xquat_p, cdof6
+
+
+def frame_planes(xpos_p, xquat_p, bodyid, pos_const, quat_const, dtype):
+  """World frames of static child elements (geoms/sites/inertia boxes).
+
+  Args:
+    xpos_p/xquat_p: (3, nbody)/(4, nbody) body pose planes.
+    bodyid: static (n,) parent body per element.
+    pos_const/quat_const: (n, 3)/(n, 4) local offsets (model constants).
+
+  Returns:
+    (pos (3-tuple of (n,)), mat (row-major 9-tuple of (n,))).
+  """
+  b = np.asarray(bodyid, np.int32)
+  qb = tuple(xquat_p[i][b] for i in range(4))
+  pb = tuple(xpos_p[i][b] for i in range(3))
+  pc = tuple(pos_const[:, i].astype(dtype) for i in range(3))
+  qc = tuple(quat_const[:, i].astype(dtype) for i in range(4))
+  rp = tmath.quat_rotate_p(qb, pc)
+  pos = tuple(pb[i] + rp[i] for i in range(3))
+  mat = tmath.quat_to_mat_p(tmath.quat_mul_p(qb, qc))
+  return pos, mat
+
+
+def geom_planes(model: Model, xpos_p, xquat_p) -> jax.Array:
+  """(12, ngeom) geom frame planes: rows 0-2 position, 3-11 row-major
+  rotation — the narrow phase's native input layout."""
+  dtype = xpos_p.dtype
+  pos, mat = frame_planes(xpos_p, xquat_p, model.geom_bodyid,
+                          model.geom_pos, model.geom_quat, dtype)
+  return jnp.stack(pos + mat)
+
+
 def _fwd_position_jump(model: Model, data: Data, tables) -> Data:
   """FK via vectorized local poses + pointer-jumping path composition.
 

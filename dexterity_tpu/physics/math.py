@@ -200,3 +200,67 @@ def inertia_world(
 def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
   """Safe L2 normalize (reference: dexterity/utils/geometry_utils.py:6-14)."""
   return x / (jnp.linalg.norm(x, axis=axis, keepdims=True) + eps)
+
+
+# ---------------------------------------------------------------------------
+# Plane (SoA) forms.
+#
+# TPU layout note: batched AoS arrays like (B, nbody, 3) or (B, nbody, 3, 3)
+# tile with the tiny trailing dims in the (8, 128) vector registers — 3 of
+# 128 lanes used, ~40x wasted HBM bandwidth per op (measured: the inertia
+# and jacobian intermediates dominated the round-2 substep trace).  The
+# plane form keeps each scalar component a separate (n,) array (a "plane"),
+# so every operation is full-width elementwise VPU work and XLA fuses whole
+# chains without materializing padded tensors.  A quaternion is a 4-tuple
+# of planes (w, x, y, z); a vector a 3-tuple; a rotation a row-major
+# 9-tuple.
+# ---------------------------------------------------------------------------
+
+
+def quat_mul_p(a, b):
+  """Hamilton product on quaternion planes."""
+  aw, ax, ay, az = a
+  bw, bx, by, bz = b
+  return (aw * bw - ax * bx - ay * by - az * bz,
+          aw * bx + ax * bw + ay * bz - az * by,
+          aw * by - ax * bz + ay * bw + az * bx,
+          aw * bz + ax * by - ay * bx + az * bw)
+
+
+def quat_rotate_p(q, v):
+  """Rotates vector planes v by unit quaternion planes q."""
+  w, ux, uy, uz = q
+  vx, vy, vz = v
+  cx = uy * vz - uz * vy
+  cy = uz * vx - ux * vz
+  cz = ux * vy - uy * vx
+  dx = uy * cz - uz * cy
+  dy = uz * cx - ux * cz
+  dz = ux * cy - uy * cx
+  return (vx + 2.0 * (w * cx + dx),
+          vy + 2.0 * (w * cy + dy),
+          vz + 2.0 * (w * cz + dz))
+
+
+def quat_to_mat_p(q):
+  """Unit quaternion planes -> row-major rotation 9-tuple."""
+  w, x, y, z = q
+  return (1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+          2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+          2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y))
+
+
+def quat_normalize_p(q, eps: float = 1e-12):
+  """Plane-form quat_normalize (identity when near zero)."""
+  w, x, y, z = q
+  n = jnp.sqrt(w * w + x * x + y * y + z * z)
+  big = n > eps
+  inv = 1.0 / jnp.maximum(n, eps)
+  return (jnp.where(big, w * inv, 1.0), jnp.where(big, x * inv, 0.0),
+          jnp.where(big, y * inv, 0.0), jnp.where(big, z * inv, 0.0))
+
+
+def cross_p(u, v):
+  ux, uy, uz = u
+  vx, vy, vz = v
+  return (uy * vz - uz * vy, uz * vx - ux * vz, ux * vy - uy * vx)

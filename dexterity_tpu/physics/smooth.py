@@ -66,6 +66,218 @@ def solve_m(data: Data, vec: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# Plane-form (SoA) inertia & dynamics — the hot-substep implementations.
+#
+# The AoS paths above materialize (B, nbody, 6, nv)-class tensors whose
+# 3/6-wide minor dims waste ~97% of each TPU vector register (measured
+# round-2 trace).  The plane forms below keep every scalar component a
+# full-width (n,) array and express the tree reductions as matmuls with
+# static masks, so the only materialized batched tensors are (B, k, n)
+# with n = nbody/nv/ngeom on the minor axis.  See physics/math.py.
+# ---------------------------------------------------------------------------
+
+
+def _subtree_mask_np(model: Model) -> np.ndarray:
+  """(nbody, nbody) S[b, d] = 1 if body d is in the subtree rooted at b."""
+  s = np.zeros((model.nbody, model.nbody))
+  for d in range(model.nbody):
+    i = d
+    while True:
+      s[i, d] = 1.0
+      if i == 0:
+        break
+      i = model.body_parentid[i]
+  return s
+
+
+def _dof_upper_mask_np(model: Model) -> np.ndarray:
+  """(nv, nv) U[v, w] = 1 iff dof v is an ancestor dof of body(w) and
+  v <= w: the upper-triangular CRB sparsity pattern.  Relies on the
+  topological dof ordering (ancestor dofs have smaller indices), which the
+  compiler guarantees (asserted here)."""
+  anc = kinematics.ancestor_mask(model)                 # (nbody, nv)
+  db = np.asarray(model.dof_bodyid, np.int32)
+  full = anc[db]                                        # full[w, v]
+  up = np.zeros((model.nv, model.nv))
+  for w in range(model.nv):
+    for v in range(model.nv):
+      if full[w, v] and v <= w:
+        up[v, w] = 1.0
+  # A deeper body's dofs must not precede an ancestor's (same-body pairs
+  # are ancestor relations in both directions and are fine either way —
+  # the subtree composite is identical).
+  for v in range(model.nv):
+    for w in range(v + 1, model.nv):
+      assert not (full[v, w] and not full[w, v]), (
+          'dof ordering is not topological; CRB mask would drop terms')
+  return up
+
+
+def inertia_origin_planes(model: Model, xpos_p, xquat_p):
+  """Spatial-inertia params about the world origin per body.
+
+  Returns (body10 (10, nbody), xipos3 (3, nbody)): body10 rows are
+  [m, h(3), I_o(6 upper-tri xx,xy,xz,yy,yz,zz)], h = m·com,
+  I_o = I_com + m((c·c)δ − ccᵀ).  Linear in body composition, so subtree
+  sums of these rows give the CRB composite inertias."""
+  dtype = xpos_p.dtype
+  pos, mat = kinematics.frame_planes(
+      xpos_p, xquat_p, np.arange(model.nbody), model.body_ipos,
+      model.body_iquat, dtype)
+  i1 = model.body_inertia[:, 0].astype(dtype)
+  i2 = model.body_inertia[:, 1].astype(dtype)
+  i3 = model.body_inertia[:, 2].astype(dtype)
+  m = model.body_mass.astype(dtype)
+
+  def iw(a, b):
+    # I_com[a, b] = Σ_k I_k R[a, k] R[b, k]
+    return (i1 * mat[3 * a + 0] * mat[3 * b + 0]
+            + i2 * mat[3 * a + 1] * mat[3 * b + 1]
+            + i3 * mat[3 * a + 2] * mat[3 * b + 2])
+
+  cx, cy, cz = pos
+  cc = cx * cx + cy * cy + cz * cz
+  ixx = iw(0, 0) + m * (cc - cx * cx)
+  ixy = iw(0, 1) - m * cx * cy
+  ixz = iw(0, 2) - m * cx * cz
+  iyy = iw(1, 1) + m * (cc - cy * cy)
+  iyz = iw(1, 2) - m * cy * cz
+  izz = iw(2, 2) + m * (cc - cz * cz)
+  body10 = jnp.stack([m, m * cx, m * cy, m * cz,
+                      ixx, ixy, ixz, iyy, iyz, izz])
+  return body10, jnp.stack(pos)
+
+
+def _spatial_inertia_apply(p10, m6):
+  """Applies origin-frame spatial inertias to motion planes.
+
+  Args:
+    p10: (10, n) params [m, h, I_o].
+    m6: (6, n) motion planes [ang, lin(origin)].
+
+  Returns:
+    (6, n) force planes [torque-about-origin, force].
+  """
+  m, hx, hy, hz = p10[0], p10[1], p10[2], p10[3]
+  ixx, ixy, ixz, iyy, iyz, izz = (p10[4], p10[5], p10[6], p10[7], p10[8],
+                                  p10[9])
+  wx, wy, wz = m6[0], m6[1], m6[2]
+  vx, vy, vz = m6[3], m6[4], m6[5]
+  tx = ixx * wx + ixy * wy + ixz * wz + (hy * vz - hz * vy)
+  ty = ixy * wx + iyy * wy + iyz * wz + (hz * vx - hx * vz)
+  tz = ixz * wx + iyz * wy + izz * wz + (hx * vy - hy * vx)
+  fx = m * vx + (wy * hz - wz * hy)
+  fy = m * vy + (wz * hx - wx * hz)
+  fz = m * vz + (wx * hy - wy * hx)
+  return jnp.stack([tx, ty, tz, fx, fy, fz])
+
+
+def crb_planes(model: Model, body10: jax.Array, cdof6: jax.Array):
+  """Joint-space inertia via the classic CRB algorithm as three matmuls:
+  subtree-composite inertias (static subtree mask), per-dof spatial force
+  f_w = I^C_{body(w)} cdof_w (elementwise planes), and
+  M[v, w] = cdof_v · f_w on the static ancestor-dof sparsity pattern.
+  Identical result to the AoS J^T I J contraction (tests/test_hot_step.py)
+  with no (nbody, 6, nv) tensor ever materialized."""
+  dtype = body10.dtype
+  sub = jnp.asarray(_subtree_mask_np(model), dtype)      # (nbody, nbody)
+  # HIGHEST precision: TPU f32 matmuls default to one bf16 MXU pass, whose
+  # ~4e-3 input rounding is larger than qM's smallest eigenvalues (the
+  # ~1.7e-5 fingertip inertias) — the result loses positive-definiteness
+  # and the constraint Cholesky NaNs.  These contractions are tiny, so the
+  # multi-pass f32 cost is noise.
+  hi = jax.lax.Precision.HIGHEST
+  comp = jnp.matmul(body10, sub.T, precision=hi)         # (10, nbody)
+  db = np.asarray(model.dof_bodyid, np.int32)
+  f6 = _spatial_inertia_apply(comp[:, db], cdof6)        # (6, nv)
+  g = jnp.einsum('cv,cw->vw', cdof6, f6, precision=hi)   # (nv, nv)
+  up = jnp.asarray(_dof_upper_mask_np(model), dtype)
+  u = g * up
+  eye = jnp.eye(model.nv, dtype=dtype)
+  qm = u + jnp.swapaxes(u, -1, -2) * (1.0 - eye)
+  return qm + jnp.diag(model.dof_armature.astype(dtype))
+
+
+def _motion_cross_planes(v6, m6):
+  """Spatial motion cross product on planes: v ×ₘ m."""
+  ax, ay, az = v6[0], v6[1], v6[2]
+  bx, by, bz = m6[0], m6[1], m6[2]
+  cx, cy, cz = v6[3], v6[4], v6[5]
+  dx, dy, dz = m6[3], m6[4], m6[5]
+  return jnp.stack([
+      ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx,
+      (ay * dz - az * dy) + (cy * bz - cz * by),
+      (az * dx - ax * dz) + (cz * bx - cx * bz),
+      (ax * dy - ay * dx) + (cx * by - cy * bx)])
+
+
+def _force_cross_planes(v6, f6):
+  """Motion ×* force on planes."""
+  ax, ay, az = v6[0], v6[1], v6[2]
+  cx, cy, cz = v6[3], v6[4], v6[5]
+  tx, ty, tz = f6[0], f6[1], f6[2]
+  fx, fy, fz = f6[3], f6[4], f6[5]
+  return jnp.stack([
+      (ay * tz - az * ty) + (cy * fz - cz * fy),
+      (az * tx - ax * tz) + (cz * fx - cx * fz),
+      (ax * ty - ay * tx) + (cx * fy - cy * fx),
+      ay * fz - az * fy, az * fx - ax * fz, ax * fy - ay * fx])
+
+
+def rne_planes(model: Model, body10: jax.Array, cdof6: jax.Array,
+               qvel: jax.Array):
+  """qfrc_bias = C(q, v)·v + G(q) in plane form (single-jointed trees).
+
+  Same two-mask-contraction structure as the AoS `rne` (velocity prefix
+  sum, per-dof bias acceleration, backward mask contraction); returns
+  (qfrc_bias (nv,), cvel6 (6, nbody))."""
+  dtype = cdof6.dtype
+  hi = jax.lax.Precision.HIGHEST        # see crb_planes precision note
+  mask = jnp.asarray(kinematics.ancestor_mask(model), dtype)   # (nbody, nv)
+  w6 = cdof6 * qvel[None, :]                       # (6, nv)
+  cvel6 = jnp.matmul(w6, mask.T, precision=hi)     # (6, nbody)
+
+  db = np.asarray(model.dof_bodyid, np.int32)
+  ref6 = cvel6[:, db]                              # (6, nv)
+  trans_free = np.zeros(model.nv, bool)
+  for ji in range(model.njnt):
+    if model.jnt_type[ji] == int(JointType.FREE):
+      d = model.jnt_dofadr[ji]
+      trans_free[d:d + 3] = True
+  if trans_free.any():
+    ref6 = jnp.where(jnp.asarray(trans_free)[None, :], 0.0, ref6)
+
+  tau6 = _motion_cross_planes(ref6, cdof6) * qvel[None, :]
+  grav6 = jnp.concatenate([jnp.zeros(3, dtype),
+                           -model.opt.gravity.astype(dtype)])
+  cacc6 = grav6[:, None] + jnp.matmul(tau6, mask.T, precision=hi)
+
+  iv = _spatial_inertia_apply(body10, cvel6)
+  ia = _spatial_inertia_apply(body10, cacc6)
+  f6 = ia + _force_cross_planes(cvel6, iv)         # (6, nbody)
+
+  btot = jnp.matmul(f6, mask, precision=hi)        # (6, nv)
+  qfrc_bias = jnp.einsum('cv,cv->v', cdof6, btot, precision=hi)
+  return qfrc_bias, cvel6
+
+
+def xfrc_planes(model: Model, xipos3: jax.Array, cdof6: jax.Array,
+                xfrc_applied: jax.Array) -> jax.Array:
+  """Plane-form xfrc_accumulate: projects world COM wrenches into qfrc."""
+  dtype = cdof6.dtype
+  com = (xipos3[0], xipos3[1], xipos3[2])
+  force = tuple(xfrc_applied[:, c].astype(dtype) for c in range(3))
+  torque = tuple(xfrc_applied[:, 3 + c].astype(dtype) for c in range(3))
+  tau0 = tmath.cross_p(com, force)
+  f6 = jnp.stack([torque[0] + tau0[0], torque[1] + tau0[1],
+                  torque[2] + tau0[2]] + list(force))
+  hi = jax.lax.Precision.HIGHEST        # see crb_planes precision note
+  mask = jnp.asarray(kinematics.ancestor_mask(model), dtype)
+  return jnp.einsum('cv,cv->v', cdof6, jnp.matmul(f6, mask, precision=hi),
+                    precision=hi)
+
+
+# ---------------------------------------------------------------------------
 # Bias forces (coriolis + centrifugal + gravity) — RNEA in Plücker coords
 # ---------------------------------------------------------------------------
 
@@ -345,10 +557,17 @@ def euler(model: Model, data: Data) -> Data:
   damping (shadow/adroit wrists) is unconditionally stable, then
   v⁺ = v + h·qacc, q⁺ = q ⊕ h·v⁺.
   """
+  qfrc_smooth = (data.qfrc_passive + data.qfrc_actuator + data.qfrc_applied
+                 + xfrc_accumulate(model, data) - data.qfrc_bias)
+  return euler_from_smooth(model, data, qfrc_smooth)
+
+
+def euler_from_smooth(model: Model, data: Data,
+                      qfrc_smooth: jax.Array) -> Data:
+  """`euler` given the already-computed smooth force (hot path: avoids
+  re-projecting xfrc_applied)."""
   h = model.opt.timestep
-  qfrc = (data.qfrc_passive + data.qfrc_actuator + data.qfrc_applied
-          + xfrc_accumulate(model, data) - data.qfrc_bias
-          + data.qfrc_constraint)
+  qfrc = qfrc_smooth + data.qfrc_constraint
   from dexterity_tpu.physics import linalg_pallas
   mhb = data.qM + h * jnp.diag(model.dof_damping)
   qacc_implicit = linalg_pallas.cholesky_solve(mhb, qfrc)

@@ -55,6 +55,58 @@ def step(model: Model, data: Data) -> Data:
   return data
 
 
+def step_hot(model: Model, data: Data) -> Data:
+  """One physics substep via the plane-form (SoA) pipeline.
+
+  Same semantics as `step` (equality modulo float reassociation is pinned
+  by tests/test_hot_step.py) but no AoS derived tensors are materialized:
+  body poses, geom frames, inertias and the tree contractions all run on
+  component planes (see physics/math.py plane note), which is ~2x faster
+  per substep at planner batch sizes on TPU.  Derived Data fields other
+  than the integrator carry are left stale — callers that need frames or
+  contacts after the step must refresh (step_n does).
+  """
+  from dexterity_tpu.physics import constraint as constraint_mod
+  from dexterity_tpu.physics.collision import primitives
+  dtype = data.qpos.dtype
+
+  xpos_p, xquat_p, cdof6 = kinematics.body_poses_planes(
+      model, data.qpos, data.mocap_pos, data.mocap_quat)
+  gpos, gmat = kinematics.frame_planes(
+      xpos_p, xquat_p, model.geom_bodyid, model.geom_pos, model.geom_quat,
+      dtype)
+  contact = primitives.collide_planes(model, gpos, gmat, data.qpos[0] * 0,
+                                      dtype)
+  body10, xipos3 = smooth.inertia_origin_planes(model, xpos_p, xquat_p)
+  qm = smooth.crb_planes(model, body10, cdof6)
+  qfrc_bias, _ = smooth.rne_planes(model, body10, cdof6, data.qvel)
+
+  if model.ntendon:
+    dof_qposadr = kinematics._dof_qposadr(model)
+    ten_length = model.tendon_moment @ data.qpos[dof_qposadr]
+    ten_velocity = model.tendon_moment @ data.qvel
+  else:
+    ten_length = jnp.zeros((0,), dtype)
+    ten_velocity = jnp.zeros((0,), dtype)
+
+  updates = dict(qM=qm, contact=contact, cdof=cdof6.T,
+                 ten_length=ten_length, ten_velocity=ten_velocity,
+                 qfrc_bias=qfrc_bias)
+  if model.neq:
+    # CONNECT/WELD row assembly reads AoS body poses (tiny arrays).
+    updates.update(xpos=xpos_p.T, xquat=xquat_p.T)
+  data = data.replace(**updates)
+
+  data = smooth.actuation(model, data)
+  data = smooth.passive(model, data)
+  qfrc_smooth = (data.qfrc_passive + data.qfrc_actuator + data.qfrc_applied
+                 + smooth.xfrc_planes(model, xipos3, cdof6,
+                                      data.xfrc_applied)
+                 - data.qfrc_bias)
+  data = constraint_mod.solve(model, data, qfrc_smooth)
+  return smooth.euler_from_smooth(model, data, qfrc_smooth)
+
+
 # True integrator state plus the per-dof/per-actuator dynamics outputs a
 # caller may read after the control step (e.g. the joint_torques observable
 # reads qfrc_* and qacc).  Everything else in Data is derived geometry that
@@ -83,7 +135,7 @@ def step_n(model: Model, data: Data, n: int,
       whose rewards are position-level (contacts and cvel stay stale).
   """
   def body(carry, _):
-    d = step(model, data.replace(**carry))
+    d = step_hot(model, data.replace(**carry))
     return {f: getattr(d, f) for f in _STEP_CARRY}, ()
 
   carry0 = {f: getattr(data, f) for f in _STEP_CARRY}

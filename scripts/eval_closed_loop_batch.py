@@ -9,6 +9,7 @@ intervals per TPU-hour.
 
 Knobs (env vars): GOALS (32) SAMPLES (256) HORIZON (10) KNOTS (4)
   TEMP NOISE ITERS NOISE_DECAY FAIL_PEN PLAN_SUBSTEPS SHAPING
+  PLAN_SOLVER_ITS (4) PLAN_LS_ITS (6)
   SHAPE_HORIZ SHAPE_DROP SHAPE_MARGIN SHAPE_VEL STEPS (300) SEED
 """
 
@@ -76,45 +77,55 @@ def main():
           horizon=horizon, num_samples=samples, noise_scale=noise,
           num_knots=knots, temperature=temp, plan_substeps=plan_substeps,
           iterations=iters, noise_decay=noise_decay,
-          failure_penalty=fail_pen),
+          failure_penalty=fail_pen,
+          solver_iterations=int(os.environ.get('PLAN_SOLVER_ITS', '4')),
+          ls_iterations=int(os.environ.get('PLAN_LS_ITS', '6'))),
       extra_reward_fn=keep_in_hand if shaping_on else None)
 
+  # One jitted control step, host loop over steps.  A single on-device
+  # scan over all n_steps was one multi-minute device execution — past the
+  # tunneled-TPU watchdog at large env counts — and can't early-exit; the
+  # host loop stops as soon as every episode has terminated (most goals
+  # solve within ~20 steps).
   @jax.jit
-  def run(key):
+  def init(key):
     keys = jax.random.split(key, g_envs + 1)
     state, _ = jax.vmap(env.reset)(keys[1:])
     pstate = jax.vmap(lambda _: planner.init_state())(jnp.arange(g_envs))
     done = jnp.zeros(g_envs, bool)
     solved = jnp.zeros(g_envs, bool)
     steps_to_solve = jnp.full(g_envs, n_steps, jnp.int32)
+    return state, pstate, keys[0], done, solved, steps_to_solve
 
-    def control_step(carry, i):
-      state, pstate, key, done, solved, stepsolve = carry
-      key, sub = jax.random.split(key)
-      ks = jax.random.split(sub, g_envs)
-      action, pstate2 = jax.vmap(planner.solve)(
-          state.data, state.task.goal, pstate, ks)
-      state2, ts = jax.vmap(env.step)(state, action)
-      ended = ts.step_type == 2
-      newly_solved = ~done & ended & (state2.task.successes >= 1)
-      solved = solved | newly_solved
-      stepsolve = jnp.where(newly_solved, i + 1, stepsolve)
-      newly_done = done | ended
-      # Freeze finished episodes (keep their terminal state).
-      keep = lambda a, b: jnp.where(
-          done.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
-      state = jax.tree_util.tree_map(keep, state, state2)
-      pstate = jax.tree_util.tree_map(keep, pstate, pstate2)
-      return (state, pstate, key, newly_done, solved, stepsolve), ()
-
-    carry = (state, pstate, keys[0], done, solved, steps_to_solve)
-    carry, _ = jax.lax.scan(control_step, carry, jnp.arange(n_steps))
-    state, _, _, done, solved, stepsolve = carry
-    return solved, done, stepsolve, state.task.goal_distance[:, 0], \
-        state.task.failure_termination
+  @jax.jit
+  def control_step(carry, i):
+    state, pstate, key, done, solved, stepsolve = carry
+    key, sub = jax.random.split(key)
+    ks = jax.random.split(sub, g_envs)
+    action, pstate2 = jax.vmap(planner.solve)(
+        state.data, state.task.goal, pstate, ks)
+    state2, ts = jax.vmap(env.step)(state, action)
+    ended = ts.step_type == 2
+    newly_solved = ~done & ended & (state2.task.successes >= 1)
+    solved = solved | newly_solved
+    stepsolve = jnp.where(newly_solved, i + 1, stepsolve)
+    newly_done = done | ended
+    # Freeze finished episodes (keep their terminal state).
+    keep = lambda a, b: jnp.where(
+        done.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
+    state = jax.tree_util.tree_map(keep, state, state2)
+    pstate = jax.tree_util.tree_map(keep, pstate, pstate2)
+    return (state, pstate, key, newly_done, solved, stepsolve)
 
   t0 = time.time()
-  solved, done, stepsolve, err, fell = run(jax.random.PRNGKey(seed))
+  carry = init(jax.random.PRNGKey(seed))
+  for i in range(n_steps):
+    carry = control_step(carry, jnp.int32(i))
+    if bool(jax.device_get(carry[3].all())):
+      break
+  state, _, _, done, solved, stepsolve = carry
+  err = state.task.goal_distance[:, 0]
+  fell = state.task.failure_termination
   jax.block_until_ready(solved)
   wall = time.time() - t0
   solved = np.asarray(solved)

@@ -38,6 +38,14 @@ def main():
   task = manipulation.build_task('reorient', 'state_dense')
   env = manipulation._environment.GoalEnvironment(task)
   model = task.compile()
+  opt = model.opt
+  if 'SOLVER_ITS' in os.environ:
+    opt = opt.replace(solver_iterations=int(os.environ['SOLVER_ITS']))
+  if 'LS_ITS' in os.environ:
+    opt = opt.replace(ls_iterations=int(os.environ['LS_ITS']))
+  if 'CONTACT_TOP_K' in os.environ:
+    opt = opt.replace(contact_top_k=int(os.environ['CONTACT_TOP_K']))
+  model = model.replace(opt=opt)
   state, _ = jax.jit(env.reset)(jax.random.PRNGKey(0))
   src = state.data
   d = make_data(model, dtype=src.qpos.dtype)
@@ -59,6 +67,7 @@ def main():
       'solve': lambda dd: constraint_mod.solve(model, dd, qfrc(model, dd)),
       'euler': lambda dd: smooth.euler(model, dd),
       'full': lambda dd: phys_step.step(model, dd),
+      'hot': lambda dd: phys_step.step_hot(model, dd),
   }
   fn = stages[stage_name]
 
