@@ -350,7 +350,7 @@ def collide_all(model: Model, data: Data) -> Data:
   return data.replace(contact=contact)
 
 
-def collide_planes(model: Model, gpos, gmat, vary_zero, dtype) -> Contact:
+def collide_group_planes(model: Model, gpos, gmat, vary_zero, dtype):
   """Narrow phase over candidate pairs, optionally midphase-capped.
 
   TPU layout strategy: all per-pair inputs are component planes (one
@@ -360,6 +360,15 @@ def collide_planes(model: Model, gpos, gmat, vary_zero, dtype) -> Contact:
   pair margin rides along per slot (top-K scoring needs it); every other
   pair parameter is resolved later in the constraint stage from the
   static pair table, so nothing parameter-sized is materialized per env.
+
+  Returns the per-kernel-group results WITHOUT concatenating them into
+  one Contact: a list of dicts with keys dist/pos/frame/pair/margin
+  (planes of length k*m, slot-major), in the fixed group iteration order.
+  The hot path consumes this directly (the constraint stage's top-K
+  selection sums per-group one-hot contractions), which keeps the ~13
+  payload planes out of HBM as a second concatenated copy — the concat
+  alone was ~17% of the round-2 hot substep.  `collide_planes` builds the
+  Contact struct from these groups for the refresh/conformance path.
 
   Args:
     gpos: 3-tuple of (ngeom,) world-position planes.
@@ -372,11 +381,23 @@ def collide_planes(model: Model, gpos, gmat, vary_zero, dtype) -> Contact:
   radius = _bounding_radius(model)
   size_np = collision_size(model)
   margin_np = np.asarray(jax.device_get(model.pair_margin))
+  ngeom = model.ngeom
+  hi = jax.lax.Precision.HIGHEST
 
   from dexterity_tpu.physics.collision import soa
 
-  d_pl, pos_pl, n_pl, t1_pl, t2_pl = [], [], [], [], []
-  pair_ids, mar_pl = [], []
+  # Flat list of the 12 geom-frame planes; slot expansion is a static
+  # constant-index gather per plane (XLA lowers these to cheap strided
+  # kernels — a constant one-hot matmul was measured 10x WORSE here: XLA
+  # strength-reduces the tiny-minor-dim dot into a broadcast-reduce
+  # fusion over (B, p, n, ngeom)).
+  all_planes = list(gpos) + list(gmat)
+
+  def expand(gids, rows=range(12)):
+    """Planes at a static slot->geom map: tuple of (len(gids),) planes."""
+    return tuple(all_planes[r][gids] for r in rows)
+
+  out = []
   for (t1g, t2g), grp in groups.items():
     if (t1g, t2g) not in _KERNELS:
       raise NotImplementedError(f'no collision kernel for {t1g} vs {t2g}')
@@ -387,30 +408,32 @@ def collide_planes(model: Model, gpos, gmat, vary_zero, dtype) -> Contact:
     pair_np = np.asarray(grp['pair'], np.int32)
     n = len(g1)
 
-    # Full-width pair payload (static constant-index gathers; cheap).
-    p1 = tuple(gpos[c][g1] for c in range(3))
-    p2 = tuple(gpos[c][g2] for c in range(3))
-    m1_ = tuple(gmat[c][g1] for c in range(9))
-    m2_ = tuple(gmat[c][g2] for c in range(9))
-
     if m < n:
       # Cheap conservative pair distance (bounding spheres; planes use the
-      # true halfspace distance), then per-env top-m one-hot selection.
+      # true halfspace distance) from position planes only, then top-m.
+      p1 = expand(g1, rows=range(3))
+      p2 = expand(g2, rows=range(3))
       delta = soa.sub(p2, p1)
       r2 = jnp.asarray(radius[g2], dtype)
       if t1g == GeomType.PLANE:
-        nrm1 = tuple(gmat[3 * c + 2][g1] for c in range(3))  # col 2
+        nrm1 = expand(g1, rows=(5, 8, 11))        # rotation col 2
         score = soa.dot(delta, nrm1) - r2
       else:
         r1 = jnp.asarray(radius[g1], dtype)
         score = jnp.sqrt(jnp.maximum(soa.dot(delta, delta), 0.0)) - r1 - r2
       _, sel = jax.lax.top_k(-score, m)
-      dyn = onehot_select(sel, jnp.stack(p1 + p2 + m1_ + m2_))
+      # One (m, n) one-hot selects the 18 remaining frame planes and the
+      # per-slot statics in two MXU contractions.  NEVER dynamic takes:
+      # per-env (m,) gathers of constants measured ~8 us/ELEMENT here
+      # (kCustom gather kernels) — one such take per group cost more
+      # than the rest of the substep.  (A two-stage unique-geom one-hot
+      # was also tried and measured worse: u ~ n/2 for the box groups.)
+      frames = expand(g1, rows=range(3, 12)) + expand(g2, rows=range(3, 12))
+      dyn = onehot_select(sel, jnp.stack(p1 + p2 + frames))
       stat = onehot_select(sel, jnp.asarray(np.concatenate([
           size_np[g1].T, size_np[g2].T,
           pair_np[None].astype(np.float64),
-          margin_np[pair_np][None]]), dtype)
-          + vary_zero)
+          margin_np[pair_np][None]]), dtype) + vary_zero)
       p1 = tuple(dyn[0:3])
       p2 = tuple(dyn[3:6])
       m1_ = tuple(dyn[6:15])
@@ -420,6 +443,10 @@ def collide_planes(model: Model, gpos, gmat, vary_zero, dtype) -> Contact:
       pid = jnp.round(stat[6]).astype(jnp.int32)
       mar = stat[7]
     else:
+      p1 = expand(g1, rows=range(3))
+      p2 = expand(g2, rows=range(3))
+      m1_ = expand(g1, rows=range(3, 12))
+      m2_ = expand(g2, rows=range(3, 12))
       s1 = tuple(jnp.asarray(size_np[g1, c], dtype) for c in range(3))
       s2 = tuple(jnp.asarray(size_np[g2, c], dtype) for c in range(3))
       pid = jnp.asarray(pair_np) + vary_zero.astype(jnp.int32)
@@ -429,15 +456,24 @@ def collide_planes(model: Model, gpos, gmat, vary_zero, dtype) -> Contact:
     assert sk == k
     d, p, nrm = sfn(p1, m1_, s1, p2, m2_, s2)          # (k, m) planes
     tt1, tt2 = _tangent_frame_soa(nrm)
-    d_pl.append(d.reshape(-1))
-    pos_pl.append(tuple(c.reshape(-1) for c in p))
-    n_pl.append(tuple(c.reshape(-1) for c in nrm))
-    t1_pl.append(tuple(c.reshape(-1) for c in tt1))
-    t2_pl.append(tuple(c.reshape(-1) for c in tt2))
-    pair_ids.append(jnp.tile(pid, k))                  # rows are slot-major
-    mar_pl.append(jnp.tile(mar, k))                    # matching tiling
+    out.append(dict(
+        dist=d.reshape(-1),                            # rows are slot-major
+        pos=tuple(c.reshape(-1) for c in p),
+        frame=(tuple(c.reshape(-1) for c in nrm)
+               + tuple(c.reshape(-1) for c in tt1)
+               + tuple(c.reshape(-1) for c in tt2)),
+        pair=jnp.tile(pid, k),                         # matching tiling
+        margin=jnp.tile(mar, k)))
+  if out:
+    assert sum(g['dist'].shape[0] for g in out) == total_rows \
+        == num_contact_points(model)
+  return out
 
-  if not d_pl:
+
+def collide_planes(model: Model, gpos, gmat, vary_zero, dtype) -> Contact:
+  """Concatenated-Contact form of collide_group_planes (refresh path)."""
+  out = collide_group_planes(model, gpos, gmat, vary_zero, dtype)
+  if not out:
     return Contact(
         dist=jnp.full((1,), _BIG, dtype),
         pos=jnp.zeros((3, 1), dtype),
@@ -445,15 +481,13 @@ def collide_planes(model: Model, gpos, gmat, vary_zero, dtype) -> Contact:
         pair=-jnp.ones((1,), jnp.int32),
         margin=jnp.zeros((1,), dtype))
 
-  def catc(plane_tuples, c):
-    return jnp.concatenate([t[c] for t in plane_tuples])
+  def catc(key, c):
+    return jnp.concatenate([g[key][c] for g in out])
 
-  pos = jnp.stack([catc(pos_pl, c) for c in range(3)])           # (3, rows)
-  frame = jnp.stack([catc(pl, c) for pl in (n_pl, t1_pl, t2_pl)
-                     for c in range(3)])                         # (9, rows)
-  contact = Contact(dist=jnp.concatenate(d_pl),
-                    pos=pos, frame=frame,
-                    pair=jnp.concatenate(pair_ids).astype(jnp.int32),
-                    margin=jnp.concatenate(mar_pl))
-  assert contact.dist.shape[0] == total_rows == num_contact_points(model)
-  return contact
+  pos = jnp.stack([catc('pos', c) for c in range(3)])            # (3, rows)
+  frame = jnp.stack([catc('frame', c) for c in range(9)])        # (9, rows)
+  return Contact(dist=jnp.concatenate([g['dist'] for g in out]),
+                 pos=pos, frame=frame,
+                 pair=jnp.concatenate(
+                     [g['pair'] for g in out]).astype(jnp.int32),
+                 margin=jnp.concatenate([g['margin'] for g in out]))

@@ -381,7 +381,7 @@ def _ten_limit_rows(model: Model, data: Data, dtype):
           jnp.concatenate(dds), jnp.concatenate(iws))
 
 
-def _contact_rows(model: Model, data: Data, dtype):
+def _contact_rows(model: Model, data: Data, dtype, groups=None):
   """Top-K contact rows with a pyramidal friction cone.
 
   Returns per selected point: rows for condim==1 (normal only) or
@@ -396,30 +396,55 @@ def _contact_rows(model: Model, data: Data, dtype):
   (NPARAM, npair) table (constant MXU operand); body ancestor masks use a
   tiny one-hot over nbody; and the directional jacobians are
   (k,3)x(3,nv) matmuls — the whole stage has no per-env dynamic gathers.
+
+  Args:
+    groups: optional narrow-phase group list (collide_group_planes).
+      When given, the 13 payload planes are selected by per-group one-hot
+      contractions at static offsets and summed — the groups are never
+      concatenated into a Contact (hot path).  When None, reads
+      data.contact (refresh/conformance path).
   """
   from dexterity_tpu.core import types as T
   from dexterity_tpu.physics.collision.primitives import (
       _pair_param_planes, onehot_select)
-  if model.npair == 0:
+  if model.npair == 0 or (groups is not None and not groups):
     z = jnp.zeros((0,), dtype)
     return jnp.zeros((0, model.nv), dtype), z, z, z
 
   h = model.opt.timestep
-  c = data.contact
-  npoint = c.dist.shape[0]
-  k_sel = min(model.opt.contact_top_k, npoint)
   max_condim = max(model.pair_condim) if model.npair else 1
 
-  score = c.dist - c.margin                             # (npoint,)
+  if groups is None:
+    c = data.contact
+    score = c.dist - c.margin                           # (npoint,)
+  else:
+    score = jnp.concatenate([g['dist'] - g['margin'] for g in groups])
+  npoint = score.shape[0]
+  k_sel = min(model.opt.contact_top_k, npoint)
+
   neg_score, sel = jax.lax.top_k(-score, k_sel)         # deepest first
   score_sel = -neg_score
   active = score_sel < 0
   r = jnp.minimum(score_sel, 0.0)
 
-  payload = jnp.concatenate(
-      [c.pos, c.frame,
-       jnp.maximum(c.pair, 0).astype(dtype)[None]], axis=0)
-  selp = onehot_select(sel, payload)                    # (13, k)
+  if groups is None:
+    payload = jnp.concatenate(
+        [c.pos, c.frame,
+         jnp.maximum(c.pair, 0).astype(dtype)[None]], axis=0)
+    selp = onehot_select(sel, payload)                  # (13, k)
+  else:
+    hi_p = jax.lax.Precision.HIGHEST
+    selp = 0.0
+    off = 0
+    for g in groups:
+      n = g['dist'].shape[0]
+      payload_g = jnp.stack(
+          list(g['pos']) + list(g['frame'])
+          + [g['pair'].astype(dtype)])                  # (13, n)
+      oh = (sel[:, None] == jnp.arange(off, off + n)[None, :])
+      selp = selp + jnp.einsum('kn,pn->pk', oh.astype(dtype), payload_g,
+                               precision=hi_p)
+      off += n
   pos = selp[0:3]                                       # (3, k) planes
   nrm = selp[3:6]
   t1d = selp[6:9]
@@ -540,7 +565,7 @@ def _bigd(d, invweight, dtype):
   return jnp.where(d > 0, big, 0.0).astype(dtype)
 
 
-def assemble_blocks(model: Model, data: Data):
+def assemble_blocks(model: Model, data: Data, contact_groups=None):
   """Block-structured constraint assembly (the hot-path form).
 
   Reference efc ordering preserved across blocks: equalities,
@@ -564,7 +589,7 @@ def assemble_blocks(model: Model, data: Data):
   if tj.shape[0]:
     blocks.append(DenseBlock(tj, tr, _bigd(td, ti, dtype), _UNILATERAL,
                              None, np.ones(tj.shape[0], bool)))
-  cj, cr, cd, ci = _contact_rows(model, data, dtype)
+  cj, cr, cd, ci = _contact_rows(model, data, dtype, groups=contact_groups)
   if cj.shape[0]:
     blocks.append(DenseBlock(cj, cr, _bigd(cd, ci, dtype), _UNILATERAL,
                              None, np.zeros(cj.shape[0], bool)))
@@ -672,7 +697,8 @@ def _blk_cost(blk, x):
   return jnp.sum(jnp.where(x < 0, quad, 0.0), axis=-1)
 
 
-def solve(model: Model, data: Data, qfrc_smooth: jax.Array) -> Data:
+def solve(model: Model, data: Data, qfrc_smooth: jax.Array,
+          contact_groups=None) -> Data:
   """Projected Newton over block-structured rows.
 
   TPU notes: the rows stay as typed blocks end-to-end — limits and
@@ -690,7 +716,7 @@ def solve(model: Model, data: Data, qfrc_smooth: jax.Array) -> Data:
 
   if model.opt.disable_constraint:
     return smooth_only()
-  blocks = assemble_blocks(model, data)
+  blocks = assemble_blocks(model, data, contact_groups=contact_groups)
   if not blocks:
     return smooth_only()
 

@@ -75,8 +75,11 @@ def step_hot(model: Model, data: Data) -> Data:
   gpos, gmat = kinematics.frame_planes(
       xpos_p, xquat_p, model.geom_bodyid, model.geom_pos, model.geom_quat,
       dtype)
-  contact = primitives.collide_planes(model, gpos, gmat, data.qpos[0] * 0,
-                                      dtype)
+  # Group form, never concatenated into a Contact: the constraint stage's
+  # top-K selection consumes the groups directly (one-hot contractions at
+  # static offsets), saving the 13-plane payload copy per substep.
+  contact_groups = primitives.collide_group_planes(
+      model, gpos, gmat, data.qpos[0] * 0, dtype)
   body10, xipos3 = smooth.inertia_origin_planes(model, xpos_p, xquat_p)
   qm = smooth.crb_planes(model, body10, cdof6)
   qfrc_bias, _ = smooth.rne_planes(model, body10, cdof6, data.qvel)
@@ -89,7 +92,7 @@ def step_hot(model: Model, data: Data) -> Data:
     ten_length = jnp.zeros((0,), dtype)
     ten_velocity = jnp.zeros((0,), dtype)
 
-  updates = dict(qM=qm, contact=contact, cdof=cdof6.T,
+  updates = dict(qM=qm, cdof=cdof6.T,
                  ten_length=ten_length, ten_velocity=ten_velocity,
                  qfrc_bias=qfrc_bias)
   if model.neq:
@@ -103,7 +106,8 @@ def step_hot(model: Model, data: Data) -> Data:
                  + smooth.xfrc_planes(model, xipos3, cdof6,
                                       data.xfrc_applied)
                  - data.qfrc_bias)
-  data = constraint_mod.solve(model, data, qfrc_smooth)
+  data = constraint_mod.solve(model, data, qfrc_smooth,
+                              contact_groups=contact_groups)
   return smooth.euler_from_smooth(model, data, qfrc_smooth)
 
 

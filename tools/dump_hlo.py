@@ -30,7 +30,7 @@ def main():
 
   def rollout(data):
     def body(dd, _):
-      dd = phys_step.step(model, dd)
+      dd = phys_step.step_hot(model, dd)
       return dd.replace(qpos=dd.qpos + 1e-30 * dd.qacc[0]), ()
     out, _ = jax.lax.scan(body, data, (), length=K)
     return out
