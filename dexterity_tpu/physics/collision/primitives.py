@@ -421,7 +421,14 @@ def collide_group_planes(model: Model, gpos, gmat, vary_zero, dtype):
       else:
         r1 = jnp.asarray(radius[g1], dtype)
         score = jnp.sqrt(jnp.maximum(soa.dot(delta, delta), 0.0)) - r1 - r2
-      _, sel = jax.lax.top_k(-score, m)
+      if jax.default_backend() == 'tpu':
+        # ApproxTopK PartialReduce instead of a full-width stable sort
+        # (see the constraint-stage top-K note).  Boundary-recall misses
+        # are bounding-sphere-marginal pairs — far from contact.
+        _, sel = jax.lax.approx_max_k(-score, m, recall_target=0.95)
+        sel = sel.astype(jnp.int32)
+      else:
+        _, sel = jax.lax.top_k(-score, m)
       # One (m, n) one-hot selects the 18 remaining frame planes and the
       # per-slot statics in two MXU contractions.  NEVER dynamic takes:
       # per-env (m,) gathers of constants measured ~8 us/ELEMENT here
