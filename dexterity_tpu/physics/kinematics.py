@@ -79,21 +79,34 @@ def body_poses_planes(model: Model, qpos: jax.Array, mocap_pos, mocap_quat):
 
   Same pointer-jumping composition as the AoS path (equality verified in
   tests/test_hot_step.py); replaces mj_kinematics for the hot substep.
+
+  Batch-minor mode: when qpos is (nq, B) (and mocap_pos/mocap_quat carry
+  the same trailing batch axes), every plane gains trailing batch dims —
+  (3, nbody, B) etc.  With the batch in the XLA lane axis each vreg is
+  fully packed, vs ~25% lane utilization for the vmap layout whose minor
+  axis is the 30-40-wide body/dof count (the round-3 FK floor).
   """
   from dexterity_tpu.physics import tree
   dtype = qpos.dtype
   nbody = model.nbody
+  bshape = qpos.shape[1:]
+  bdims = (1,) * len(bshape)
   cls = _joint_class_tables(model)
 
   def consts(a, idx=None):
     a = a.astype(dtype) if hasattr(a, 'astype') else jnp.asarray(a, dtype)
     if idx is not None:
       a = a[idx]
-    return tuple(a[..., c] for c in range(a.shape[-1]))
+    return tuple(a[..., c].reshape(a.shape[:-1] + bdims)
+                 for c in range(a.shape[-1]))
 
-  # Local pose planes per body (parent frame).
-  lpos = list(consts(model.body_pos))
-  lquat = list(consts(model.body_quat))
+  # Local pose planes per body (parent frame), broadcast to the batch so
+  # the per-joint .at[body] updates (which carry batch dims) type-check.
+  def _init(planes):
+    return [jnp.broadcast_to(p, (nbody,) + bshape) for p in planes]
+
+  lpos = _init(consts(model.body_pos))
+  lquat = _init(consts(model.body_quat))
 
   def at_set(planes, b, vals):
     return [p.at[b].set(v) for p, v in zip(planes, vals)]
@@ -172,8 +185,8 @@ def body_poses_planes(model: Model, qpos: jax.Array, mocap_pos, mocap_quat):
   xpos_t, xquat_t = tuple(lpos), tuple(lquat)
 
   # cdof planes from final poses, per joint class.
-  ang = [jnp.zeros(model.nv, dtype) for _ in range(3)]
-  lin = [jnp.zeros(model.nv, dtype) for _ in range(3)]
+  ang = [jnp.zeros((model.nv,) + bshape, dtype) for _ in range(3)]
+  lin = [jnp.zeros((model.nv,) + bshape, dtype) for _ in range(3)]
 
   def neg(v):
     return (-v[0], -v[1], -v[2])
@@ -247,10 +260,13 @@ def frame_planes(xpos_p, xquat_p, bodyid, pos_const, quat_const, dtype):
     (pos (3-tuple of (n,)), mat (row-major 9-tuple of (n,))).
   """
   b = np.asarray(bodyid, np.int32)
+  bdims = (1,) * (xpos_p.ndim - 2)      # trailing batch dims (batch-minor)
   qb = tuple(xquat_p[i][b] for i in range(4))
   pb = tuple(xpos_p[i][b] for i in range(3))
-  pc = tuple(pos_const[:, i].astype(dtype) for i in range(3))
-  qc = tuple(quat_const[:, i].astype(dtype) for i in range(4))
+  pc = tuple(pos_const[:, i].astype(dtype).reshape((-1,) + bdims)
+             for i in range(3))
+  qc = tuple(quat_const[:, i].astype(dtype).reshape((-1,) + bdims)
+             for i in range(4))
   rp = tmath.quat_rotate_p(qb, pc)
   pos = tuple(pb[i] + rp[i] for i in range(3))
   mat = tmath.quat_to_mat_p(tmath.quat_mul_p(qb, qc))

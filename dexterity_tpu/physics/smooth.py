@@ -121,13 +121,14 @@ def inertia_origin_planes(model: Model, xpos_p, xquat_p):
   I_o = I_com + m((c·c)δ − ccᵀ).  Linear in body composition, so subtree
   sums of these rows give the CRB composite inertias."""
   dtype = xpos_p.dtype
+  bdims = (1,) * (xpos_p.ndim - 2)      # trailing batch dims (batch-minor)
   pos, mat = kinematics.frame_planes(
       xpos_p, xquat_p, np.arange(model.nbody), model.body_ipos,
       model.body_iquat, dtype)
-  i1 = model.body_inertia[:, 0].astype(dtype)
-  i2 = model.body_inertia[:, 1].astype(dtype)
-  i3 = model.body_inertia[:, 2].astype(dtype)
-  m = model.body_mass.astype(dtype)
+  i1 = model.body_inertia[:, 0].astype(dtype).reshape((-1,) + bdims)
+  i2 = model.body_inertia[:, 1].astype(dtype).reshape((-1,) + bdims)
+  i3 = model.body_inertia[:, 2].astype(dtype).reshape((-1,) + bdims)
+  m = model.body_mass.astype(dtype).reshape((-1,) + bdims)
 
   def iw(a, b):
     # I_com[a, b] = Σ_k I_k R[a, k] R[b, k]
@@ -187,15 +188,19 @@ def crb_planes(model: Model, body10: jax.Array, cdof6: jax.Array):
   # and the constraint Cholesky NaNs.  These contractions are tiny, so the
   # multi-pass f32 cost is noise.
   hi = jax.lax.Precision.HIGHEST
-  comp = jnp.matmul(body10, sub.T, precision=hi)         # (10, nbody)
+  comp = jnp.einsum('cn...,mn->cm...', body10, sub,
+                    precision=hi)                        # (10, nbody, ...)
   db = np.asarray(model.dof_bodyid, np.int32)
-  f6 = _spatial_inertia_apply(comp[:, db], cdof6)        # (6, nv)
-  g = jnp.einsum('cv,cw->vw', cdof6, f6, precision=hi)   # (nv, nv)
+  f6 = _spatial_inertia_apply(comp[:, db], cdof6)        # (6, nv, ...)
+  g = jnp.einsum('cv...,cw...->vw...', cdof6, f6,
+                 precision=hi)                           # (nv, nv, ...)
+  bdims = (1,) * (cdof6.ndim - 2)
   up = jnp.asarray(_dof_upper_mask_np(model), dtype)
-  u = g * up
+  u = g * up.reshape(up.shape + bdims)
   eye = jnp.eye(model.nv, dtype=dtype)
-  qm = u + jnp.swapaxes(u, -1, -2) * (1.0 - eye)
-  return qm + jnp.diag(model.dof_armature.astype(dtype))
+  qm = u + jnp.swapaxes(u, 0, 1) * (1.0 - eye).reshape(eye.shape + bdims)
+  arm = jnp.diag(model.dof_armature.astype(dtype))
+  return qm + arm.reshape(arm.shape + bdims)
 
 
 def _motion_cross_planes(v6, m6):
@@ -232,32 +237,35 @@ def rne_planes(model: Model, body10: jax.Array, cdof6: jax.Array,
   sum, per-dof bias acceleration, backward mask contraction); returns
   (qfrc_bias (nv,), cvel6 (6, nbody))."""
   dtype = cdof6.dtype
+  bdims = (1,) * (cdof6.ndim - 2)       # trailing batch dims (batch-minor)
   hi = jax.lax.Precision.HIGHEST        # see crb_planes precision note
   mask = jnp.asarray(kinematics.ancestor_mask(model), dtype)   # (nbody, nv)
-  w6 = cdof6 * qvel[None, :]                       # (6, nv)
-  cvel6 = jnp.matmul(w6, mask.T, precision=hi)     # (6, nbody)
+  w6 = cdof6 * qvel[None]                          # (6, nv, ...)
+  cvel6 = jnp.einsum('cv...,nv->cn...', w6, mask, precision=hi)
 
   db = np.asarray(model.dof_bodyid, np.int32)
-  ref6 = cvel6[:, db]                              # (6, nv)
+  ref6 = cvel6[:, db]                              # (6, nv, ...)
   trans_free = np.zeros(model.nv, bool)
   for ji in range(model.njnt):
     if model.jnt_type[ji] == int(JointType.FREE):
       d = model.jnt_dofadr[ji]
       trans_free[d:d + 3] = True
   if trans_free.any():
-    ref6 = jnp.where(jnp.asarray(trans_free)[None, :], 0.0, ref6)
+    ref6 = jnp.where(
+        jnp.asarray(trans_free).reshape((1, -1) + bdims), 0.0, ref6)
 
-  tau6 = _motion_cross_planes(ref6, cdof6) * qvel[None, :]
+  tau6 = _motion_cross_planes(ref6, cdof6) * qvel[None]
   grav6 = jnp.concatenate([jnp.zeros(3, dtype),
                            -model.opt.gravity.astype(dtype)])
-  cacc6 = grav6[:, None] + jnp.matmul(tau6, mask.T, precision=hi)
+  cacc6 = (grav6.reshape((6, 1) + bdims)
+           + jnp.einsum('cv...,nv->cn...', tau6, mask, precision=hi))
 
   iv = _spatial_inertia_apply(body10, cvel6)
   ia = _spatial_inertia_apply(body10, cacc6)
-  f6 = ia + _force_cross_planes(cvel6, iv)         # (6, nbody)
+  f6 = ia + _force_cross_planes(cvel6, iv)         # (6, nbody, ...)
 
-  btot = jnp.matmul(f6, mask, precision=hi)        # (6, nv)
-  qfrc_bias = jnp.einsum('cv,cv->v', cdof6, btot, precision=hi)
+  btot = jnp.einsum('cn...,nv->cv...', f6, mask, precision=hi)
+  qfrc_bias = jnp.einsum('cv...,cv...->v...', cdof6, btot, precision=hi)
   return qfrc_bias, cvel6
 
 
@@ -273,7 +281,8 @@ def xfrc_planes(model: Model, xipos3: jax.Array, cdof6: jax.Array,
                   torque[2] + tau0[2]] + list(force))
   hi = jax.lax.Precision.HIGHEST        # see crb_planes precision note
   mask = jnp.asarray(kinematics.ancestor_mask(model), dtype)
-  return jnp.einsum('cv,cv->v', cdof6, jnp.matmul(f6, mask, precision=hi),
+  return jnp.einsum('cv...,cv...->v...', cdof6,
+                    jnp.einsum('cn...,nv->cv...', f6, mask, precision=hi),
                     precision=hi)
 
 

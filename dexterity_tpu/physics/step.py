@@ -66,35 +66,58 @@ def step_hot(model: Model, data: Data) -> Data:
   than the integrator carry are left stale — callers that need frames or
   contacts after the step must refresh (step_n does).
   """
-  from dexterity_tpu.physics import constraint as constraint_mod
-  from dexterity_tpu.physics.collision import primitives
-  dtype = data.qpos.dtype
+  pre = _precompute_planes(model, data.qpos, data.qvel, data.mocap_pos,
+                           data.mocap_quat)
+  return _finish_step(model, data, pre)
 
+
+def _precompute_planes(model: Model, qpos, qvel, mocap_pos, mocap_quat):
+  """Tree-sweep plane products for one substep (FK/frames/CRB/RNE).
+
+  Rank-polymorphic: with qpos (nq,) all outputs are per-env planes; with
+  qpos (nq, B) (mocap/qvel batched the same way, batch-minor) every output
+  gains a trailing B — the layout where XLA packs the batch into the lane
+  axis and the sweep runs at full vreg width (step_hot_b)."""
+  dtype = qpos.dtype
   xpos_p, xquat_p, cdof6 = kinematics.body_poses_planes(
-      model, data.qpos, data.mocap_pos, data.mocap_quat)
+      model, qpos, mocap_pos, mocap_quat)
   gpos, gmat = kinematics.frame_planes(
       xpos_p, xquat_p, model.geom_bodyid, model.geom_pos, model.geom_quat,
       dtype)
+  body10, xipos3 = smooth.inertia_origin_planes(model, xpos_p, xquat_p)
+  qm = smooth.crb_planes(model, body10, cdof6)
+  qfrc_bias, _ = smooth.rne_planes(model, body10, cdof6, qvel)
+  if model.ntendon:
+    dof_qposadr = kinematics._dof_qposadr(model)
+    ten_length = model.tendon_moment @ qpos[dof_qposadr]
+    ten_velocity = model.tendon_moment @ qvel
+  else:
+    bshape = qpos.shape[1:]
+    ten_length = jnp.zeros((0,) + bshape, dtype)
+    ten_velocity = jnp.zeros((0,) + bshape, dtype)
+  return dict(xpos_p=xpos_p, xquat_p=xquat_p, cdof6=cdof6,
+              gpos=gpos, gmat=gmat, xipos3=xipos3, qm=qm,
+              qfrc_bias=qfrc_bias, ten_length=ten_length,
+              ten_velocity=ten_velocity)
+
+
+def _finish_step(model: Model, data: Data, pre: dict) -> Data:
+  """Collision, actuation, constraint solve and integration (per-env)."""
+  from dexterity_tpu.physics import constraint as constraint_mod
+  from dexterity_tpu.physics.collision import primitives
+  dtype = data.qpos.dtype
+  xpos_p, xquat_p, cdof6 = pre['xpos_p'], pre['xquat_p'], pre['cdof6']
+
   # Group form, never concatenated into a Contact: the constraint stage's
   # top-K selection consumes the groups directly (one-hot contractions at
   # static offsets), saving the 13-plane payload copy per substep.
   contact_groups = primitives.collide_group_planes(
-      model, gpos, gmat, data.qpos[0] * 0, dtype)
-  body10, xipos3 = smooth.inertia_origin_planes(model, xpos_p, xquat_p)
-  qm = smooth.crb_planes(model, body10, cdof6)
-  qfrc_bias, _ = smooth.rne_planes(model, body10, cdof6, data.qvel)
+      model, pre['gpos'], pre['gmat'], data.qpos[0] * 0, dtype)
 
-  if model.ntendon:
-    dof_qposadr = kinematics._dof_qposadr(model)
-    ten_length = model.tendon_moment @ data.qpos[dof_qposadr]
-    ten_velocity = model.tendon_moment @ data.qvel
-  else:
-    ten_length = jnp.zeros((0,), dtype)
-    ten_velocity = jnp.zeros((0,), dtype)
-
-  updates = dict(qM=qm, cdof=cdof6.T,
-                 ten_length=ten_length, ten_velocity=ten_velocity,
-                 qfrc_bias=qfrc_bias)
+  updates = dict(qM=pre['qm'], cdof=cdof6.T,
+                 ten_length=pre['ten_length'],
+                 ten_velocity=pre['ten_velocity'],
+                 qfrc_bias=pre['qfrc_bias'])
   if model.neq:
     # CONNECT/WELD row assembly reads AoS body poses (tiny arrays).
     updates.update(xpos=xpos_p.T, xquat=xquat_p.T)
@@ -103,12 +126,35 @@ def step_hot(model: Model, data: Data) -> Data:
   data = smooth.actuation(model, data)
   data = smooth.passive(model, data)
   qfrc_smooth = (data.qfrc_passive + data.qfrc_actuator + data.qfrc_applied
-                 + smooth.xfrc_planes(model, xipos3, cdof6,
+                 + smooth.xfrc_planes(model, pre['xipos3'], cdof6,
                                       data.xfrc_applied)
                  - data.qfrc_bias)
   data = constraint_mod.solve(model, data, qfrc_smooth,
                               contact_groups=contact_groups)
   return smooth.euler_from_smooth(model, data, qfrc_smooth)
+
+
+def step_hot_b(model: Model, data: Data) -> Data:
+  """Batched step_hot: `data` has a leading batch axis on every field.
+
+  Equivalent to vmap(step_hot) (pinned by tests/test_hot_step.py) but the
+  tree-sweep stages (FK, frames, inertias, CRB, RNE) run batch-minor:
+  planes shaped (c, n, B) put the batch in the XLA lane axis, so the
+  30-40-wide body/dof sweeps run at full vector width instead of the ~25%
+  lane utilization of the vmap layout.  The pair-axis stages (narrow
+  phase, constraint solve) stay batch-major under vmap — their minor axes
+  (candidate pairs, top-K slots) are already lane-sized, and the one-hot
+  selection contractions want the batch as an MXU batch dim.  The
+  transpose seam between the two layouts moves only per-body/geom-sized
+  arrays (~1 MB at B=512, negligible next to either stage)."""
+  pre = _precompute_planes(
+      model,
+      jnp.moveaxis(data.qpos, 0, -1),
+      jnp.moveaxis(data.qvel, 0, -1),
+      jnp.moveaxis(data.mocap_pos, 0, -1),
+      jnp.moveaxis(data.mocap_quat, 0, -1))
+  pre_major = jax.tree.map(lambda p: jnp.moveaxis(p, -1, 0), pre)
+  return jax.vmap(lambda d, p: _finish_step(model, d, p))(data, pre_major)
 
 
 # True integrator state plus the per-dof/per-actuator dynamics outputs a
@@ -152,3 +198,28 @@ def step_n(model: Model, data: Data, n: int,
   data = narrowphase.collision(model, data)
   data = kinematics.fwd_velocity_kinematics(model, data)
   return data
+
+
+def step_n_b(model: Model, data: Data, n: int,
+             refresh: str = 'full') -> Data:
+  """Batched step_n (leading batch axis): step_hot_b under the scan.
+
+  Same carry/refresh contract as step_n; the refresh stages run under
+  vmap (they feed per-env observables/rewards).  Use from planner rollouts
+  where the whole candidate population steps in lockstep — the batch-minor
+  tree sweeps inside step_hot_b are the point (see its docstring)."""
+  def body(carry, _):
+    d = step_hot_b(model, data.replace(**carry))
+    return {f: getattr(d, f) for f in _STEP_CARRY}, ()
+
+  carry0 = {f: getattr(data, f) for f in _STEP_CARRY}
+  carry, _ = jax.lax.scan(body, carry0, (), length=n)
+  data = data.replace(**carry)
+  data = jax.vmap(lambda d: kinematics.fwd_position(model, d))(data)
+  if refresh == 'position':
+    return data
+  from dexterity_tpu.physics.collision import narrowphase
+  def vrefresh(d):
+    d = narrowphase.collision(model, d)
+    return kinematics.fwd_velocity_kinematics(model, d)
+  return jax.vmap(vrefresh)(data)

@@ -61,6 +61,14 @@ class PredictiveSamplingConfig:
   # coarser physics (MJPC plans this task at ~10 ms).  None keeps the task
   # value; e.g. 3 -> 8.3 ms planning timestep, ~1.7x faster solves.
   plan_substeps: Optional[int] = None
+  # Planning-model contact budget (midphase keep per kernel group /
+  # constraint-stage top-K points).  The env model defaults to 64/64; a
+  # stable reorient grasp has ~10-15 true contact points, so 24/24 is
+  # plenty for planning-grade rollouts and cuts the narrow-phase one-hot
+  # selection and contact-row assembly costs roughly in half.  None keeps
+  # the env model's values (conformance fidelity).
+  plan_midphase_cap: Optional[int] = 24
+  plan_contact_top_k: Optional[int] = 24
 
 
 from dexterity_tpu.utils.structs import pytree_dataclass
@@ -93,6 +101,10 @@ class PredictiveSampling:
     opt = model.opt.replace(
         solver_iterations=config.solver_iterations,
         ls_iterations=config.ls_iterations)
+    if config.plan_midphase_cap:
+      opt = opt.replace(midphase_cap=config.plan_midphase_cap)
+    if config.plan_contact_top_k:
+      opt = opt.replace(contact_top_k=config.plan_contact_top_k)
     self.n_plan_substeps = (config.plan_substeps if config.plan_substeps
                             else task.n_substeps)
     if config.plan_substeps:
