@@ -144,7 +144,9 @@ def inertia_origin_planes(model: Model, xpos_p, xquat_p):
   iyy = iw(1, 1) + m * (cc - cy * cy)
   iyz = iw(1, 2) - m * cy * cz
   izz = iw(2, 2) + m * (cc - cz * cz)
-  body10 = jnp.stack([m, m * cx, m * cy, m * cz,
+  # `m` is a (nbody, 1…) constant plane; broadcast it to the batched plane
+  # shape so the stack is uniform in batch-minor mode.
+  body10 = jnp.stack([jnp.broadcast_to(m, cx.shape), m * cx, m * cy, m * cz,
                       ixx, ixy, ixz, iyy, iyz, izz])
   return body10, jnp.stack(pos)
 

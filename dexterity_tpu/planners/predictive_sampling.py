@@ -69,6 +69,12 @@ class PredictiveSamplingConfig:
   # the env model's values (conformance fidelity).
   plan_midphase_cap: Optional[int] = 24
   plan_contact_top_k: Optional[int] = 24
+  # Roll the candidate population through the batch-minor hot substep
+  # (physics/step.py step_n_b): the FK/CRB/RNE tree sweeps run with the
+  # population in the XLA lane axis at full vector width, instead of the
+  # ~25% lane utilization of vmap's batch-major layout.  Numerics are
+  # pinned equal to the vmapped per-env rollout (tests/test_planners.py).
+  batched_rollouts: bool = True
 
 
 from dexterity_tpu.utils.structs import pytree_dataclass
@@ -174,6 +180,49 @@ class PredictiveSampling:
         control_step, (data, alive0), actions)
     return jnp.sum(rewards)
 
+  def rollout_returns_batched(self, data: T.Data, goal: jax.Array,
+                              actions: jax.Array) -> jax.Array:
+    """Returns of N candidate sequences (N, H, nu) -> (N,).
+
+    Same semantics as vmap(rollout_return) over the candidate axis (pinned
+    by tests/test_planners.py) but the physics runs through step_n_b: one
+    scan over control steps whose carry is the whole candidate population,
+    so the tree-sweep stages (FK, frames, CRB, RNE) see the population as
+    a trailing batch axis packed into the XLA lane dimension — full-width
+    VPU work instead of vmap's batch-major ~3/128-lane layout.
+    """
+    model = self.model
+    gen = self.task.goal_generator
+    n_sub = self.n_plan_substeps
+    n = actions.shape[0]
+    bdata = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (n,) + x.shape), data)
+    acts_t = jnp.swapaxes(actions, 0, 1)                 # (H, N, nu)
+    act_ids = jnp.asarray(self._act_ids)
+
+    def per_env_reward(d):
+      dist = gen.goal_distance(goal, gen.current_state(model, d))
+      r = self.task.get_reward(model, d, _reward_state(goal, dist))
+      if self.extra_reward_fn is not None:
+        r = r + self.extra_reward_fn(model, d, goal)
+      return r, self.task.rollout_failure(model, d)
+
+    def control_step(carry, action):
+      d, alive = carry
+      ctrl = d.ctrl.at[:, act_ids].set(
+          jnp.clip(action, self._lo, self._hi))
+      d = d.replace(ctrl=ctrl)
+      d = physics_step.step_n_b(model, d, n_sub, refresh='position')
+      r, fail = jax.vmap(per_env_reward)(d)
+      alive_after = alive & ~fail
+      r = jnp.where(alive_after, r,
+                    jnp.where(alive, -self.config.failure_penalty, 0.0))
+      return (d, alive_after), r
+
+    alive0 = jnp.ones((n,), bool) & (bdata.qpos[:, 0] == bdata.qpos[:, 0])
+    (_, _), rewards = jax.lax.scan(control_step, (bdata, alive0), acts_t)
+    return jnp.sum(rewards, axis=0)
+
   def _sample_noise(self, key, n):
     """(n, H, nu) exploration noise; spline-smoothed when num_knots > 0."""
     cfg = self.config
@@ -200,8 +249,11 @@ class PredictiveSampling:
     noise = self._sample_noise(key, cfg.num_samples - 1) * noise_mult
     candidates = jnp.concatenate([nominal[None], nominal[None] + noise])
     candidates = jnp.clip(candidates, self._lo, self._hi)
-    returns = jax.vmap(lambda a: self.rollout_return(data, goal, a))(
-        candidates)
+    if cfg.batched_rollouts:
+      returns = self.rollout_returns_batched(data, goal, candidates)
+    else:
+      returns = jax.vmap(lambda a: self.rollout_return(data, goal, a))(
+          candidates)
     best = jnp.argmax(returns)
     if cfg.temperature > 0:
       # MPPI-style exponentially-weighted plan average (normalized by the

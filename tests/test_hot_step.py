@@ -113,6 +113,43 @@ def test_step_hot_matches_step(scene, request):
                              rtol=1e-8, atol=1e-10)
 
 
+@pytest.mark.parametrize('scene', ['reorient', 'juggle'])
+def test_step_hot_b_matches_vmap(scene, request):
+  """Batch-minor step_hot_b == vmap(step_hot) on a perturbed batch."""
+  model, data = request.getfixturevalue(scene)
+  b = 4
+  key = jax.random.PRNGKey(7)
+  import jax.tree_util as jtu
+  bdata = jtu.tree_map(
+      lambda x: jnp.broadcast_to(x[None], (b,) + x.shape), data)
+  dq = 1e-3 * jax.random.normal(key, (b, model.nq))
+  bdata = bdata.replace(qpos=bdata.qpos + dq)
+  ref = jax.jit(jax.vmap(lambda d: phys_step.step_hot(model, d)))(bdata)
+  got = jax.jit(lambda d: phys_step.step_hot_b(model, d))(bdata)
+  np.testing.assert_allclose(got.qpos, ref.qpos, rtol=1e-6, atol=1e-8)
+  np.testing.assert_allclose(got.qvel, ref.qvel, rtol=1e-5, atol=1e-6)
+  np.testing.assert_allclose(got.qacc, ref.qacc, rtol=1e-4, atol=1e-3)
+
+
+def test_step_n_b_matches_vmap(reorient):
+  model, data = reorient
+  b, n = 3, 10
+  import jax.tree_util as jtu
+  bdata = jtu.tree_map(
+      lambda x: jnp.broadcast_to(x[None], (b,) + x.shape), data)
+  dq = 1e-3 * jax.random.normal(jax.random.PRNGKey(9), (b, model.nq))
+  bdata = bdata.replace(qpos=bdata.qpos + dq)
+  ref = jax.jit(jax.vmap(lambda d: phys_step.step_n(model, d, n,
+                                                    refresh='position')))(
+      bdata)
+  got = jax.jit(lambda d: phys_step.step_n_b(model, d, n,
+                                             refresh='position'))(bdata)
+  np.testing.assert_allclose(got.qpos, ref.qpos, rtol=1e-5, atol=1e-6)
+  np.testing.assert_allclose(got.qvel, ref.qvel, rtol=1e-4, atol=1e-4)
+  np.testing.assert_allclose(got.site_xpos, ref.site_xpos,
+                             rtol=1e-5, atol=1e-6)
+
+
 def test_step_n_trajectory_matches_full_steps(reorient):
   model, data = reorient
   n = 20

@@ -40,6 +40,26 @@ def test_predictive_sampling_improves_reach():
       _mean_dist(state), _mean_dist(passive))
 
 
+def test_batched_rollouts_match_vmap():
+  """rollout_returns_batched (step_n_b path) == vmap(rollout_return)."""
+  from dexterity_tpu.planners import predictive_sampling as ps
+  env = manipulation.load('reorient', 'state_dense')
+  planner = ps.PredictiveSampling(
+      env.task, ps.PredictiveSamplingConfig(
+          horizon=3, num_samples=4, failure_penalty=30.0))
+  state, _ = jax.jit(env.reset)(jax.random.PRNGKey(0))
+  key = jax.random.PRNGKey(5)
+  mid = (planner._lo + planner._hi) / 2.0
+  acts = mid[None, None] + planner._sample_noise(key, 4)
+  acts = jnp.clip(acts, planner._lo, planner._hi)
+  ref = jax.jit(jax.vmap(
+      lambda a: planner.rollout_return(state.data, state.task.goal, a)))(
+          acts)
+  got = jax.jit(lambda a: planner.rollout_returns_batched(
+      state.data, state.task.goal, a))(acts)
+  np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.slow
 def test_ilqr_improves_reach():
   from dexterity_tpu.planners import ilqr

@@ -51,8 +51,15 @@ def main():
   bdata = jtu.tree_map(
       lambda x: jnp.broadcast_to(x[None], (B,) + x.shape).copy(), d)
 
-  def rollout(data):
-    return jax.vmap(lambda dd: phys_step.step_n(model, dd, K))(data)
+  if os.environ.get('BATCHED', '0') == '1':
+    refresh = os.environ.get('REFRESH', 'full')
+    def rollout(data):
+      return phys_step.step_n_b(model, data, K, refresh=refresh)
+  else:
+    refresh = os.environ.get('REFRESH', 'full')
+    def rollout(data):
+      return jax.vmap(
+          lambda dd: phys_step.step_n(model, dd, K, refresh=refresh))(data)
 
   f = jax.jit(rollout)
   t0 = time.perf_counter()
