@@ -235,6 +235,40 @@ class Model:
     return names.index(name)
 
 
+def subset_pairs(model: Model, keep) -> Model:
+  """Model restricted to the candidate contact pairs in `keep` (static
+  index list).  Used to build reduced planning models (e.g. prop-contact-
+  only rollouts, MJPC-style): the pair tables are the only model state the
+  collision/constraint stages read per pair."""
+  import numpy as _np
+  keep = _np.asarray(keep, _np.int64)
+  return model.replace(
+      npair=int(len(keep)),
+      pair_geom1=tuple(model.pair_geom1[i] for i in keep),
+      pair_geom2=tuple(model.pair_geom2[i] for i in keep),
+      pair_condim=tuple(model.pair_condim[i] for i in keep),
+      pair_friction=model.pair_friction[keep],
+      pair_solref=model.pair_solref[keep],
+      pair_solimp=model.pair_solimp[keep],
+      pair_margin=model.pair_margin[keep])
+
+
+def moving_base_bodies(model: Model) -> set:
+  """Bodies whose kinematic chain to the world crosses a FREE joint or a
+  mocap body — i.e. bodies whose workspace is unbounded at compile time."""
+  import numpy as _np
+  moving = [False] * model.nbody
+  for b in range(1, model.nbody):
+    p = model.body_parentid[b]
+    here = model.body_mocapid[b] >= 0
+    if model.body_jntnum[b]:
+      for k in range(model.body_jntnum[b]):
+        if model.jnt_type[model.body_jntadr[b] + k] == int(JointType.FREE):
+          here = True
+    moving[b] = here or moving[p]
+  return {b for b in range(model.nbody) if moving[b]}
+
+
 # Row indices of Contact.param (one (npoint,) plane per scalar parameter).
 PARAM_MARGIN = 0
 PARAM_SOLREF = slice(1, 3)

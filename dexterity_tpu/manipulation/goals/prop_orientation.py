@@ -49,10 +49,17 @@ class PropOrientation(goal_lib.GoalGenerator):
     if self._body_id is None:
       root = self._prefix + self._prop.spec.worldbody.children[0].name
       self._body_id = model.body_names.index(root)
+      jid = model.body_jntadr[self._body_id]
+      self._qadr = model.jnt_qposadr[jid]
 
   def current_state(self, model, data):
+    """The prop's world orientation, read from its free-joint qpos (always
+    valid — identical to data.xquat[body] after FK normalization, but
+    needs no kinematics refresh, so planner rollouts can skip FK
+    entirely; see GoalTask.plan_refresh)."""
     self.after_compile(model)
-    return data.xquat[self._body_id]
+    q = data.qpos[self._qadr + 3:self._qadr + 7]
+    return q / jnp.maximum(jnp.linalg.norm(q), 1e-12)
 
   def next_goal(self, model, data, key):
     del model

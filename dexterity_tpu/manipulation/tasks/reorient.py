@@ -170,14 +170,20 @@ class ReOrient(task_lib.GoalTask):
       return jnp.asarray(False)
     return collisions.has_collision(data, self._fall_mask)
 
+  # Planner rollouts need no kinematics refresh: the reward and failure
+  # proxy below read the free prop's qpos directly (see plan_refresh in
+  # task.py / predictive_sampling.py).
+  plan_refresh = 'none'
+
   def rollout_failure(self, model, data):
     """Position-level fall proxy for planner rollouts: the prop's center
     below 2x its size means it left the hand and is about to hit the
     ground (the exact predicate needs contact data, which rollout steps
-    don't refresh)."""
+    don't refresh).  Reads the free joint's qpos (== xpos for a free
+    body) so rollouts can skip the FK refresh entirely."""
     if not self._fall_termination:
       return jnp.asarray(False)
-    return data.xpos[self._prop_body, 2] < 2.0 * _PROP_SIZE
+    return data.qpos[self._prop_qadr + 2] < 2.0 * _PROP_SIZE
 
   def get_reward(self, model, data, task_state):
     """Shaped reorientation reward (reference: reorient.py:238-284)."""

@@ -183,6 +183,8 @@ def step_n(model: Model, data: Data, n: int,
     'full' — position + collision + velocity kinematics (env contract).
     'position' — frames/sites only; the cheap mode for planner rollouts
       whose rewards are position-level (contacts and cvel stay stale).
+    'none' — integrator carry only; for rollouts whose rewards/failure
+      predicates read qpos directly (e.g. reorient's free-prop pose).
   """
   def body(carry, _):
     d = step_hot(model, data.replace(**carry))
@@ -191,6 +193,8 @@ def step_n(model: Model, data: Data, n: int,
   carry0 = {f: getattr(data, f) for f in _STEP_CARRY}
   carry, _ = jax.lax.scan(body, carry0, (), length=n)
   data = data.replace(**carry)
+  if refresh == 'none':
+    return data
   data = kinematics.fwd_position(model, data)
   if refresh == 'position':
     return data
@@ -215,6 +219,8 @@ def step_n_b(model: Model, data: Data, n: int,
   carry0 = {f: getattr(data, f) for f in _STEP_CARRY}
   carry, _ = jax.lax.scan(body, carry0, (), length=n)
   data = data.replace(**carry)
+  if refresh == 'none':
+    return data
   data = jax.vmap(lambda d: kinematics.fwd_position(model, d))(data)
   if refresh == 'position':
     return data

@@ -69,6 +69,15 @@ class PredictiveSamplingConfig:
   # the env model's values (conformance fidelity).
   plan_midphase_cap: Optional[int] = 24
   plan_contact_top_k: Optional[int] = 24
+  # Planning-model collision set: when False, the planning model keeps only
+  # candidate pairs where at least one geom sits on a moving-base body
+  # (free-jointed or mocap-rooted chains) — for reorient that is cube-vs-
+  # hand and cube-vs-ground, dropping the ~600 hand-self and hand-ground
+  # pairs whose midphase selection dominated the rollout substep.  The env
+  # model keeps full fidelity (success is still judged by the exact
+  # contact model); this is the planning-model simplification MJPC makes
+  # by hand-authoring reduced task models.
+  plan_self_collision: bool = False
   # Roll the candidate population through the batch-minor hot substep
   # (physics/step.py step_n_b): the FK/CRB/RNE tree sweeps run with the
   # population in the XLA lane axis at full vector width, instead of the
@@ -116,7 +125,16 @@ class PredictiveSampling:
     if config.plan_substeps:
       opt = opt.replace(
           timestep=task.control_timestep / config.plan_substeps)
-    self.model = model.replace(opt=opt)
+    plan_model = model.replace(opt=opt)
+    if not config.plan_self_collision:
+      moving = T.moving_base_bodies(model)
+      gb = np.asarray(model.geom_bodyid)
+      keep = [i for i in range(model.npair)
+              if int(gb[model.pair_geom1[i]]) in moving
+              or int(gb[model.pair_geom2[i]]) in moving]
+      if len(keep) < model.npair:
+        plan_model = T.subset_pairs(plan_model, keep)
+    self.model = plan_model
     self.dtype = dtype if dtype is not None else jnp.zeros(0).dtype
     spec = task.action_spec(model)
     lo = np.where(np.isfinite(spec.minimum), spec.minimum, -1.0)
@@ -158,10 +176,11 @@ class PredictiveSampling:
       ctrl = d.ctrl.at[jnp.asarray(self._act_ids)].set(
           jnp.clip(action, self._lo, self._hi))
       d = d.replace(ctrl=ctrl)
-      # Position-only refresh: planning rewards and the rollout failure
-      # proxy are position-level, so the per-control-step collision and
-      # velocity-kinematics refresh is skipped (~15% of rollout cost).
-      d = physics_step.step_n(model, d, n_sub, refresh='position')
+      # Reduced refresh: planning rewards and the rollout failure proxy
+      # are position-level at most (task.plan_refresh — 'none' for tasks
+      # whose planning signals read qpos directly, e.g. reorient).
+      d = physics_step.step_n(model, d, n_sub,
+                              refresh=self.task.plan_refresh)
       dist = gen.goal_distance(goal, gen.current_state(model, d))
       tstate = _reward_state(goal, dist)
       r = self.task.get_reward(model, d, tstate)
@@ -212,7 +231,8 @@ class PredictiveSampling:
       ctrl = d.ctrl.at[:, act_ids].set(
           jnp.clip(action, self._lo, self._hi))
       d = d.replace(ctrl=ctrl)
-      d = physics_step.step_n_b(model, d, n_sub, refresh='position')
+      d = physics_step.step_n_b(model, d, n_sub,
+                                refresh=self.task.plan_refresh)
       r, fail = jax.vmap(per_env_reward)(d)
       alive_after = alive & ~fail
       r = jnp.where(alive_after, r,

@@ -113,6 +113,12 @@ class Task:
     Defaults to the exact predicate."""
     return self.failure_termination(model, data)
 
+  # Kinematics refresh level planner rollouts need per control step so the
+  # task's planning reward / rollout_failure read consistent state:
+  # 'position' (frames + sites), or 'none' when they read qpos directly
+  # (see physics/step.py step_n).
+  plan_refresh = 'position'
+
   def on_goal_update(self, model, data, task_state):
     """Hook after a goal is (re)sampled — e.g. move visual hint bodies."""
     del model, task_state

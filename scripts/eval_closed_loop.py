@@ -65,16 +65,21 @@ def main():
   drop_margin = float(os.environ.get('SHAPE_MARGIN', '0.035'))
   w_vel = float(os.environ.get('SHAPE_VEL', '0'))
 
+  prop_qadr = task._prop_qadr
+  prop_dadr = model.jnt_dofadr[model.body_jntadr[prop_body]]
+
   def keep_in_hand(model, data, goal):
     """Planning-only shaping: keep the cube over the palm and near the
-    spawn height; discourages plans that fling or drop it."""
+    spawn height; discourages plans that fling or drop it.  Reads the free
+    joint's qpos/qvel directly — valid under plan_refresh='none' (frames
+    are stale inside rollouts)."""
     del model, goal
-    pos = data.xpos[prop_body]
+    pos = data.qpos[prop_qadr:prop_qadr + 3]
     horiz = (pos[0] - spawn_center[0]) ** 2 + (pos[1] - spawn_center[1]) ** 2
     low = jnp.maximum(spawn_center[2] - drop_margin - pos[2], 0.0)
     r = -w_horiz * horiz - w_drop * low * low
     if w_vel:
-      vel = data.cvel[prop_body, 3:]           # world-frame linear velocity
+      vel = data.qvel[prop_dadr:prop_dadr + 3]
       r = r - w_vel * jnp.sum(vel * vel)
     return r
 

@@ -50,6 +50,16 @@ def main():
     if name in os.environ:
       opt = opt.replace(**{attr: int(os.environ[name])})
   model = model.replace(opt=opt)
+  if os.environ.get('PROP_ONLY', '0') == '1':
+    from dexterity_tpu.core import types as T
+    import numpy as np
+    moving = T.moving_base_bodies(model)
+    gb = np.asarray(model.geom_bodyid)
+    keep = [i for i in range(model.npair)
+            if int(gb[model.pair_geom1[i]]) in moving
+            or int(gb[model.pair_geom2[i]]) in moving]
+    model = T.subset_pairs(model, keep)
+    print(f'prop-only pairs: {model.npair}')
 
   state, _ = jax.jit(env.reset)(jax.random.PRNGKey(0))
   src = state.data
