@@ -104,6 +104,21 @@ class Option:
   # Disables the constraint solver entirely (mjDSBL_CONSTRAINT analogue;
   # used by smooth-dynamics conformance tests).
   disable_constraint: bool = static_field(default=False)
+  # Newton refactorization period: 1 = exact Newton (factor the Hessian
+  # every iteration, MuJoCo semantics); k > 1 = modified Newton that
+  # refactorizes every k-th iteration and re-solves intermediate
+  # iterations against the stale factor (substitution only — ~10x cheaper
+  # than a factorization; the backtracking line search keeps descent
+  # monotone).  Planning-model option; k > 1 unrolls the Newton loop and
+  # is not differentiable (iLQR keeps the default).
+  solver_refactor_every: int = static_field(default=1)
+  # Folds implicit joint damping into the constraint solve: the Newton
+  # objective uses M' = M + h*diag(dof_damping), so the resulting qacc is
+  # already the implicitly-damped constrained acceleration and the Euler
+  # integrator needs no second linear solve (MuJoCo 'implicit'-integrator
+  # family).  Planning-model option; the env contract keeps MuJoCo's
+  # Euler semantics (constraints against M, damping solve in mj_Euler).
+  implicit_damping: bool = static_field(default=False)
 
 
 @pytree_dataclass

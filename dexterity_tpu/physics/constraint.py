@@ -719,8 +719,16 @@ def solve(model: Model, data: Data, qfrc_smooth: jax.Array,
   the round-2 substep)."""
   from dexterity_tpu.physics import linalg_pallas
 
+  # implicit_damping: solve against M' = M + h*diag(damping) so qacc is
+  # already implicitly damped (see Option.implicit_damping).
+  if model.opt.implicit_damping:
+    m = data.qM + model.opt.timestep * jnp.diag(
+        model.dof_damping.astype(data.qpos.dtype))
+  else:
+    m = data.qM
+
   def smooth_only():
-    qacc = linalg_pallas.cholesky_solve(data.qM, qfrc_smooth)
+    qacc = linalg_pallas.cholesky_solve(m, qfrc_smooth)
     return data.replace(qfrc_constraint=jnp.zeros_like(qfrc_smooth),
                         qacc_smooth=qacc, qacc=qacc)
 
@@ -732,7 +740,6 @@ def solve(model: Model, data: Data, qfrc_smooth: jax.Array,
 
   dtype = data.qpos.dtype
   nv = model.nv
-  m = data.qM
 
   def matvecs(v):
     return tuple(_blk_matvec(b, v) for b in blocks)
@@ -745,16 +752,28 @@ def solve(model: Model, data: Data, qfrc_smooth: jax.Array,
   # transpose matvecs of the forces; the line search is a closed-form
   # quadratic in alpha plus the row penalty on rank-1-updated residuals.
   alphas = 2.0 ** -jnp.arange(model.opt.ls_iterations, dtype=dtype)
+  refac_every = model.opt.solver_refactor_every
 
-  def newton_step(carry, _):
+  def newton_iter(carry, fac):
+    """One (modified-)Newton iteration.  fac=None: factor the exact
+    Hessian this iteration; otherwise re-solve against the stale factor
+    (substitution only — the line search keeps descent monotone)."""
     a, xs, ma = carry
     fws = [_blk_force_weight(b, x) for b, x in zip(blocks, xs)]
     grad = (ma - qfrc_smooth
             - sum(_blk_rmatvec(b, f, nv) for b, (f, _) in zip(blocks, fws)))
-    hess = m + sum(_blk_hess(b, w, nv, dtype)
-                   for b, (_, w) in zip(blocks, fws))
-    delta = -linalg_pallas.cholesky_solve(
-        hess + 1e-10 * jnp.eye(nv, dtype=dtype), grad)
+    if refac_every > 1:
+      if fac is None:
+        hess = m + sum(_blk_hess(b, w, nv, dtype)
+                       for b, (_, w) in zip(blocks, fws))
+        fac = linalg_pallas.cholesky_factor(
+            hess + 1e-10 * jnp.eye(nv, dtype=dtype))
+      delta = -linalg_pallas.cholesky_resolve(fac, grad)
+    else:
+      hess = m + sum(_blk_hess(b, w, nv, dtype)
+                     for b, (_, w) in zip(blocks, fws))
+      delta = -linalg_pallas.cholesky_solve(
+          hess + 1e-10 * jnp.eye(nv, dtype=dtype), grad)
     jds = matvecs(delta)
     md = m @ delta
     # cost(a + al*delta) = quad0 + al*lin + al²*quad2 + row_cost(x + al*jd)
@@ -769,7 +788,11 @@ def solve(model: Model, data: Data, qfrc_smooth: jax.Array,
     improved = costs[best] < c0
     step = jnp.where(improved, alphas[best], 0.0)
     new_xs = tuple(x + step * jd for x, jd in zip(xs, jds))
-    return (a + step * delta, new_xs, ma + step * md), ()
+    return (a + step * delta, new_xs, ma + step * md), fac
+
+  def newton_step(carry, _):
+    out, _ = newton_iter(carry, None)
+    return out, ()
 
   # Warm start from the previous step's qacc (MuJoCo warmstart semantics);
   # zero is the safe alternative at episode starts.
@@ -784,8 +807,18 @@ def solve(model: Model, data: Data, qfrc_smooth: jax.Array,
             tuple(jnp.where(use_warm, xw, xz)
                   for xw, xz in zip(xs_warm, xs_zero)),
             jnp.where(use_warm, ma_warm, 0.0))
-  (a, xs, _), _ = jax.lax.scan(newton_step, carry0, (),
-                               length=model.opt.solver_iterations)
+  if refac_every > 1:
+    # Modified Newton: unrolled so refactor-vs-resolve alternates
+    # statically; intermediate iterations reuse the stale packed factor.
+    carry, fac = carry0, None
+    for it in range(model.opt.solver_iterations):
+      if it % refac_every == 0:
+        fac = None
+      carry, fac = newton_iter(carry, fac)
+    a, xs, _ = carry
+  else:
+    (a, xs, _), _ = jax.lax.scan(newton_step, carry0, (),
+                                 length=model.opt.solver_iterations)
 
   fs = [_blk_force_weight(b, x)[0] for b, x in zip(blocks, xs)]
   qfrc_constraint = sum(_blk_rmatvec(b, f, nv) for b, f in zip(blocks, fs))

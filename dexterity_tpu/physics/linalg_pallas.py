@@ -98,6 +98,157 @@ def _build_pallas(n, tiles, dtype_name):
   )
 
 
+def _factor_kernel(n):
+  def kernel(h_ref, l_ref, a):
+    # Blocks: h (n, n, 1, 8, 128) -> L packed into l_ref (n, n, 1, 8, 128):
+    # strict lower triangle = L[i, k] (i > k), diagonal = inv_d[k]
+    # (1/sqrt of the pivot), upper = garbage.
+    a[...] = h_ref[:, :, 0]
+    for k in range(n):
+      inv = jax.lax.rsqrt(jnp.maximum(a[k, k], 1e-12))
+      a[k, k] = inv
+      if k + 1 < n:
+        col = a[k + 1:, k] * inv[None]
+        a[k + 1:, k + 1:] = a[k + 1:, k + 1:] - col[:, None] * col[None, :]
+        a[k + 1:, k] = col
+    l_ref[:, :, 0] = a[...]
+  return kernel
+
+
+def _resolve_kernel(n):
+  def kernel(l_ref, g_ref, x_ref, y):
+    # Substitution-only solve against a packed factor (see _factor_kernel).
+    y[...] = g_ref[:, 0]
+    for k in range(n):
+      yk = y[k] * l_ref[k, k, 0]
+      if k + 1 < n:
+        y[k + 1:] = y[k + 1:] - l_ref[k + 1:, k, 0] * yk[None]
+      y[k] = yk
+    for k in reversed(range(n)):
+      xk = y[k] * l_ref[k, k, 0]
+      if k:
+        y[:k] = y[:k] - l_ref[k, :k, 0] * xk[None]
+      x_ref[k, 0] = xk
+  return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def _build_factor(n, tiles, dtype_name):
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+  dtype = jnp.dtype(dtype_name)
+  return pl.pallas_call(
+      _factor_kernel(n),
+      out_shape=jax.ShapeDtypeStruct((n, n, tiles, _SUB, _LANES), dtype),
+      grid=(tiles,),
+      in_specs=[
+          pl.BlockSpec((n, n, 1, _SUB, _LANES), lambda i: (0, 0, i, 0, 0),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=pl.BlockSpec((n, n, 1, _SUB, _LANES),
+                             lambda i: (0, 0, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+      scratch_shapes=[pltpu.VMEM((n, n, _SUB, _LANES), dtype)],
+  )
+
+
+@functools.lru_cache(maxsize=32)
+def _build_resolve(n, tiles, dtype_name):
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+  dtype = jnp.dtype(dtype_name)
+  return pl.pallas_call(
+      _resolve_kernel(n),
+      out_shape=jax.ShapeDtypeStruct((n, tiles, _SUB, _LANES), dtype),
+      grid=(tiles,),
+      in_specs=[
+          pl.BlockSpec((n, n, 1, _SUB, _LANES), lambda i: (0, 0, i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((n, 1, _SUB, _LANES), lambda i: (0, i, 0, 0),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=pl.BlockSpec((n, 1, _SUB, _LANES), lambda i: (0, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+      scratch_shapes=[pltpu.VMEM((n, _SUB, _LANES), dtype)],
+  )
+
+
+def _pad_tiles(x_t, b, fill_eye=None):
+  """Pads the trailing batch axis to a multiple of _TILE and reshapes the
+  batch into (tiles, 8, 128)."""
+  b_pad = -(-b // _TILE) * _TILE
+  if b_pad != b:
+    pad = [(0, 0)] * (x_t.ndim - 1) + [(0, b_pad - b)]
+    x_t = jnp.pad(x_t, pad)
+    if fill_eye is not None:
+      n = x_t.shape[0]
+      eye = jnp.eye(n, dtype=x_t.dtype)[:, :, None]
+      mask = (jnp.arange(b_pad) >= b)[None, None, :]
+      x_t = jnp.where(mask, eye, x_t)
+  tiles = b_pad // _TILE
+  return x_t.reshape(x_t.shape[:-1] + (tiles, _SUB, _LANES)), tiles, b_pad
+
+
+def cholesky_factor_b(h):
+  """(B, n, n) SPD -> packed factor (B, n, n) for cholesky_resolve_b.
+
+  TPU-only batched Pallas path (lower triangle = L, diagonal = 1/L[k,k]);
+  on other backends returns h itself (resolve falls back to a dense
+  solve).  Gradients are not defined through the packed factor — use
+  cholesky_solve for differentiable paths."""
+  if jax.default_backend() != 'tpu' or h.dtype not in (jnp.float32,):
+    return h
+  b, n, _ = h.shape
+  h_t, tiles, b_pad = _pad_tiles(jnp.moveaxis(h, 0, -1), b, fill_eye=True)
+  l_t = _build_factor(n, tiles, str(h.dtype))(h_t)
+  return jnp.moveaxis(l_t.reshape(n, n, b_pad)[..., :b], -1, 0)
+
+
+def cholesky_resolve_b(l, g):
+  """Solves with a packed factor from cholesky_factor_b: (B, n, n), (B, n)
+  -> (B, n)."""
+  if jax.default_backend() != 'tpu' or l.dtype not in (jnp.float32,):
+    return jax.vmap(lambda hh, gg: jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(hh), gg))(l, g)
+  b, n, _ = l.shape
+  l_t, tiles, b_pad = _pad_tiles(jnp.moveaxis(l, 0, -1), b, fill_eye=True)
+  g_t, _, _ = _pad_tiles(jnp.moveaxis(g, 0, -1), b)
+  x_t = _build_resolve(n, tiles, str(l.dtype))(l_t, g_t)
+  return jnp.moveaxis(x_t.reshape(n, b_pad)[:, :b], -1, 0)
+
+
+@jax.custom_batching.custom_vmap
+def cholesky_factor(h: jax.Array) -> jax.Array:
+  """Opaque factor for cholesky_resolve (pair them; formats differ by
+  backend).  Unbatched / non-TPU: the matrix itself (resolve factorizes).
+  Batched on TPU: the packed Pallas factor.  NOT differentiable — keep
+  cholesky_solve for autodiff paths."""
+  return h
+
+
+@cholesky_factor.def_vmap
+def _cholesky_factor_vmap(axis_size, in_batched, h):
+  if not in_batched[0]:
+    h = jnp.broadcast_to(h, (axis_size,) + h.shape)
+  return cholesky_factor_b(h), True
+
+
+@jax.custom_batching.custom_vmap
+def cholesky_resolve(f: jax.Array, g: jax.Array) -> jax.Array:
+  """Solves H x = g given f = cholesky_factor(H)."""
+  return jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(f), g)
+
+
+@cholesky_resolve.def_vmap
+def _cholesky_resolve_vmap(axis_size, in_batched, f, g):
+  f_b, g_b = in_batched
+  if not f_b:
+    f = jnp.broadcast_to(f, (axis_size,) + f.shape)
+  if not g_b:
+    g = jnp.broadcast_to(g, (axis_size,) + g.shape)
+  return cholesky_resolve_b(f, g), True
+
+
 def _batched_impl(h, g):
   """(B, n, n), (B, n) -> (B, n)."""
   b, n, _ = h.shape

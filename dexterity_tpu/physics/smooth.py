@@ -578,10 +578,15 @@ def euler_from_smooth(model: Model, data: Data,
   """`euler` given the already-computed smooth force (hot path: avoids
   re-projecting xfrc_applied)."""
   h = model.opt.timestep
-  qfrc = qfrc_smooth + data.qfrc_constraint
-  from dexterity_tpu.physics import linalg_pallas
-  mhb = data.qM + h * jnp.diag(model.dof_damping)
-  qacc_implicit = linalg_pallas.cholesky_solve(mhb, qfrc)
+  if model.opt.implicit_damping:
+    # The constraint solve already used M' = M + h*diag(damping): its qacc
+    # is the implicitly-damped acceleration — integrate directly.
+    qacc_implicit = data.qacc
+  else:
+    qfrc = qfrc_smooth + data.qfrc_constraint
+    from dexterity_tpu.physics import linalg_pallas
+    mhb = data.qM + h * jnp.diag(model.dof_damping)
+    qacc_implicit = linalg_pallas.cholesky_solve(mhb, qfrc)
   qvel = data.qvel + h * qacc_implicit
   qpos = integrate_pos(model, data.qpos, qvel, h)
   # data.qacc keeps the explicit (constraint-stage) acceleration, matching

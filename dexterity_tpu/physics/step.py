@@ -217,7 +217,10 @@ def step_n_b(model: Model, data: Data, n: int,
     return {f: getattr(d, f) for f in _STEP_CARRY}, ()
 
   carry0 = {f: getattr(data, f) for f in _STEP_CARRY}
-  carry, _ = jax.lax.scan(body, carry0, (), length=n)
+  # Full unroll: n is small (3-5 substeps per control step) and unrolling
+  # lets XLA fuse across substep boundaries instead of materializing the
+  # scan carry in HBM each iteration.
+  carry, _ = jax.lax.scan(body, carry0, (), length=n, unroll=True)
   data = data.replace(**carry)
   if refresh == 'none':
     return data

@@ -60,6 +60,11 @@ class PredictiveSamplingConfig:
   # success), 3/4 converges 2x slower (95%), 4/6 solves 20/20.
   solver_iterations: int = 4
   ls_iterations: int = 6
+  # Refactorize the Newton Hessian every k-th iteration; intermediate
+  # iterations re-solve against the stale packed factor (substitution
+  # only).  With 4 iterations, k=2 halves the factorization+Hessian-build
+  # cost per substep (see Option.solver_refactor_every).
+  solver_refactor_every: int = 2
   # Planning-model substeps per control step.  The task model integrates
   # control_dt / n_substeps (reorient: 5 x 5 ms); the planner may roll out
   # coarser physics (MJPC plans this task at ~10 ms).  None keeps the task
@@ -73,6 +78,12 @@ class PredictiveSamplingConfig:
   # the env model's values (conformance fidelity).
   plan_midphase_cap: Optional[int] = 24
   plan_contact_top_k: Optional[int] = 24
+  # Fold implicit joint damping into the Newton solve (M' = M + h*D), so
+  # the Euler integrator's separate linear solve disappears — 1 of the 5
+  # Cholesky factorizations per substep (see Option.implicit_damping).
+  # Slightly different damping semantics than MuJoCo Euler (the 'implicit'
+  # integrator family); closed-loop success re-validated with it on.
+  plan_implicit_damping: bool = True
   # Planning-model collision set: when False, the planning model keeps only
   # candidate pairs where at least one geom sits on a moving-base body
   # (free-jointed or mocap-rooted chains) — for reorient that is cube-vs-
@@ -119,7 +130,8 @@ class PredictiveSampling:
     # optionally a coarser integration timestep).
     opt = model.opt.replace(
         solver_iterations=config.solver_iterations,
-        ls_iterations=config.ls_iterations)
+        ls_iterations=config.ls_iterations,
+        solver_refactor_every=config.solver_refactor_every)
     if config.plan_midphase_cap:
       opt = opt.replace(midphase_cap=config.plan_midphase_cap)
     if config.plan_contact_top_k:
@@ -129,6 +141,8 @@ class PredictiveSampling:
     if config.plan_substeps:
       opt = opt.replace(
           timestep=task.control_timestep / config.plan_substeps)
+    if config.plan_implicit_damping:
+      opt = opt.replace(implicit_damping=True)
     plan_model = model.replace(opt=opt)
     if not config.plan_self_collision:
       moving = T.moving_base_bodies(model)

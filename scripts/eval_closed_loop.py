@@ -50,6 +50,8 @@ def main():
   fail_pen = float(os.environ.get('FAIL_PEN', '30'))
   p_solver = int(os.environ.get('PLAN_SOLVER_ITS', '4'))
   p_ls = int(os.environ.get('PLAN_LS_ITS', '6'))
+  p_cap = int(os.environ.get('PLAN_CAP', '24'))
+  p_topk = int(os.environ.get('PLAN_TOPK', '24'))
   shaping_on = os.environ.get('SHAPING', '1') == '1'
   seed = int(os.environ.get('SEED', '0'))
 
@@ -90,7 +92,8 @@ def main():
           num_knots=knots, temperature=temp, plan_substeps=plan_substeps,
           iterations=iters, noise_decay=noise_decay,
           failure_penalty=fail_pen, solver_iterations=p_solver,
-          ls_iterations=p_ls),
+          ls_iterations=p_ls, plan_midphase_cap=p_cap,
+          plan_contact_top_k=p_topk),
       extra_reward_fn=keep_in_hand if shaping_on else None)
 
   reset = jax.jit(env.reset)
