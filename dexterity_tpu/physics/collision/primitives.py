@@ -338,7 +338,7 @@ def onehot_select(sel: jax.Array, planes: jax.Array) -> jax.Array:
   n = planes.shape[-1]
   s = (sel[:, None] == jnp.arange(n)[None, :]).astype(planes.dtype)
   return jnp.einsum('kn,pn->pk', s, planes,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=jax.lax.Precision.HIGH)
 
 
 def collide_all(model: Model, data: Data) -> Data:
@@ -382,7 +382,7 @@ def collide_group_planes(model: Model, gpos, gmat, vary_zero, dtype):
   size_np = collision_size(model)
   margin_np = np.asarray(jax.device_get(model.pair_margin))
   ngeom = model.ngeom
-  hi = jax.lax.Precision.HIGHEST
+  hi = jax.lax.Precision.HIGH         # see crb_planes precision note
 
   from dexterity_tpu.physics.collision import soa
 

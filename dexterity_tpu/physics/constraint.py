@@ -443,7 +443,7 @@ def _contact_rows(model: Model, data: Data, dtype, groups=None):
          jnp.maximum(c.pair, 0).astype(dtype)[None]], axis=0)
     selp = onehot_select(sel, payload)                  # (13, k)
   else:
-    hi_p = jax.lax.Precision.HIGHEST
+    hi_p = jax.lax.Precision.HIGH     # see crb_planes precision note
     selp = 0.0
     off = 0
     for g in groups:
@@ -483,7 +483,7 @@ def _contact_rows(model: Model, data: Data, dtype, groups=None):
 
   ang = data.cdof[:, :3]                                # (nv, 3)
   lin = data.cdof[:, 3:]
-  hi = jax.lax.Precision.HIGHEST
+  hi = jax.lax.Precision.HIGH         # see crb_planes precision note
 
   def cross_planes(u, v):
     return jnp.stack([u[1] * v[2] - u[2] * v[1],

@@ -189,7 +189,9 @@ def crb_planes(model: Model, body10: jax.Array, cdof6: jax.Array):
   # ~1.7e-5 fingertip inertias) — the result loses positive-definiteness
   # and the constraint Cholesky NaNs.  These contractions are tiny, so the
   # multi-pass f32 cost is noise.
-  hi = jax.lax.Precision.HIGHEST
+  hi = jax.lax.Precision.HIGH   # bf16x3: ~6e-8 rel, 300x margin over the
+  # 1.7e-5 fingertip-inertia eigenvalues at half the passes of HIGHEST;
+  # one bf16 pass (DEFAULT, ~4e-3) loses positive-definiteness (round-2).
   comp = jnp.einsum('cn...,mn->cm...', body10, sub,
                     precision=hi)                        # (10, nbody, ...)
   db = np.asarray(model.dof_bodyid, np.int32)
@@ -240,7 +242,7 @@ def rne_planes(model: Model, body10: jax.Array, cdof6: jax.Array,
   (qfrc_bias (nv,), cvel6 (6, nbody))."""
   dtype = cdof6.dtype
   bdims = (1,) * (cdof6.ndim - 2)       # trailing batch dims (batch-minor)
-  hi = jax.lax.Precision.HIGHEST        # see crb_planes precision note
+  hi = jax.lax.Precision.HIGH           # see crb_planes precision note
   mask = jnp.asarray(kinematics.ancestor_mask(model), dtype)   # (nbody, nv)
   w6 = cdof6 * qvel[None]                          # (6, nv, ...)
   cvel6 = jnp.einsum('cv...,nv->cn...', w6, mask, precision=hi)
@@ -281,7 +283,7 @@ def xfrc_planes(model: Model, xipos3: jax.Array, cdof6: jax.Array,
   tau0 = tmath.cross_p(com, force)
   f6 = jnp.stack([torque[0] + tau0[0], torque[1] + tau0[1],
                   torque[2] + tau0[2]] + list(force))
-  hi = jax.lax.Precision.HIGHEST        # see crb_planes precision note
+  hi = jax.lax.Precision.HIGH           # see crb_planes precision note
   mask = jnp.asarray(kinematics.ancestor_mask(model), dtype)
   return jnp.einsum('cv...,cv...->v...', cdof6,
                     jnp.einsum('cn...,nv->cv...', f6, mask, precision=hi),

@@ -217,10 +217,10 @@ def step_n_b(model: Model, data: Data, n: int,
     return {f: getattr(d, f) for f in _STEP_CARRY}, ()
 
   carry0 = {f: getattr(data, f) for f in _STEP_CARRY}
-  # Full unroll: n is small (3-5 substeps per control step) and unrolling
-  # lets XLA fuse across substep boundaries instead of materializing the
-  # scan carry in HBM each iteration.
-  carry, _ = jax.lax.scan(body, carry0, (), length=n, unroll=True)
+  # Unroll short control-step bursts (3-5 substeps): XLA then fuses across
+  # substep boundaries instead of materializing the scan carry in HBM each
+  # iteration.  Long rollouts keep the scan (graph size / compile time).
+  carry, _ = jax.lax.scan(body, carry0, (), length=n, unroll=(n <= 8))
   data = data.replace(**carry)
   if refresh == 'none':
     return data

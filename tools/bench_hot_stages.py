@@ -46,9 +46,14 @@ def main():
   for name, attr in (('MIDPHASE_CAP', 'midphase_cap'),
                      ('CONTACT_TOP_K', 'contact_top_k'),
                      ('SOLVER_ITS', 'solver_iterations'),
-                     ('LS_ITS', 'ls_iterations')):
+                     ('LS_ITS', 'ls_iterations'),
+                     ('REFAC', 'solver_refactor_every')):
     if name in os.environ:
       opt = opt.replace(**{attr: int(os.environ[name])})
+  if os.environ.get('IMPLICIT', '0') == '1':
+    opt = opt.replace(implicit_damping=True)
+  if 'TIMESTEP' in os.environ:
+    opt = opt.replace(timestep=float(os.environ['TIMESTEP']))
   model = model.replace(opt=opt)
   if os.environ.get('PROP_ONLY', '0') == '1':
     from dexterity_tpu.core import types as T

@@ -41,7 +41,24 @@ def main():
     opt = opt.replace(solver_iterations=int(os.environ['SOLVER_ITS']))
   if 'LS_ITS' in os.environ:
     opt = opt.replace(ls_iterations=int(os.environ['LS_ITS']))
+  if 'REFAC' in os.environ:
+    opt = opt.replace(solver_refactor_every=int(os.environ['REFAC']))
+  if os.environ.get('IMPLICIT', '0') == '1':
+    opt = opt.replace(implicit_damping=True)
+  if 'TIMESTEP' in os.environ:
+    opt = opt.replace(timestep=float(os.environ['TIMESTEP']))
+  if os.environ.get('DISABLE', '0') == '1':
+    opt = opt.replace(disable_constraint=True)
   model = model.replace(opt=opt)
+  if os.environ.get('PROP_ONLY', '0') == '1':
+    from dexterity_tpu.core import types as T
+    import numpy as np
+    moving = T.moving_base_bodies(model)
+    gb = np.asarray(model.geom_bodyid)
+    keep = [i for i in range(model.npair)
+            if int(gb[model.pair_geom1[i]]) in moving
+            or int(gb[model.pair_geom2[i]]) in moving]
+    model = T.subset_pairs(model, keep)
 
   state, _ = jax.jit(env.reset)(jax.random.PRNGKey(0))
   src = state.data
