@@ -350,7 +350,64 @@ def collide_all(model: Model, data: Data) -> Data:
   return data.replace(contact=contact)
 
 
-def collide_group_planes(model: Model, gpos, gmat, vary_zero, dtype):
+def midphase_selinfo(model: Model, gpos, gmat, dtype):
+  """Midphase slot selection, hoisted out of the substep loop.
+
+  Computes, per capped kernel group, the top-m candidate one-hot matrix
+  (m, n) and the static per-slot payload (8, m) from the CURRENT geom
+  frames.  Planner rollouts reuse one selection for all substeps of a
+  control step (geoms move ~mm per control step while the bounding-sphere
+  midphase has cm-scale slack), which removes the approx_top_k scoring —
+  ~2/3 of the collision stage at planner batch sizes — from every substep
+  but conceptually the first.  Returns a list over groups (None for
+  uncapped groups) of dict(oh=(m, n), stat=(8, m)).
+  """
+  groups, _ = _pair_groups(model)
+  radius = _bounding_radius(model)
+  size_np = collision_size(model)
+  margin_np = np.asarray(jax.device_get(model.pair_margin))
+  all_planes = list(gpos) + list(gmat)
+
+  def expand(gids, rows=range(12)):
+    return tuple(all_planes[r][gids] for r in rows)
+
+  from dexterity_tpu.physics.collision import soa
+  out = []
+  for (t1g, t2g), grp in groups.items():
+    m = grp['m']
+    g1 = np.asarray(grp['g1'], np.int32)
+    g2 = np.asarray(grp['g2'], np.int32)
+    pair_np = np.asarray(grp['pair'], np.int32)
+    n = len(g1)
+    if m >= n:
+      out.append(None)
+      continue
+    p1 = expand(g1, rows=range(3))
+    p2 = expand(g2, rows=range(3))
+    delta = soa.sub(p2, p1)
+    r2 = jnp.asarray(radius[g2], dtype)
+    if t1g == GeomType.PLANE:
+      nrm1 = expand(g1, rows=(5, 8, 11))
+      score = soa.dot(delta, nrm1) - r2
+    else:
+      r1 = jnp.asarray(radius[g1], dtype)
+      score = jnp.sqrt(jnp.maximum(soa.dot(delta, delta), 0.0)) - r1 - r2
+    if jax.default_backend() == 'tpu':
+      _, sel = jax.lax.approx_max_k(-score, m, recall_target=0.95)
+      sel = sel.astype(jnp.int32)
+    else:
+      _, sel = jax.lax.top_k(-score, m)
+    oh = (sel[..., :, None] == jnp.arange(n)[None, :]).astype(dtype)
+    stat = onehot_select(sel, jnp.asarray(np.concatenate([
+        size_np[g1].T, size_np[g2].T,
+        pair_np[None].astype(np.float64),
+        margin_np[pair_np][None]]), dtype))
+    out.append(dict(oh=oh, stat=stat))
+  return out
+
+
+def collide_group_planes(model: Model, gpos, gmat, vary_zero, dtype,
+                         selinfo=None):
   """Narrow phase over candidate pairs, optionally midphase-capped.
 
   TPU layout strategy: all per-pair inputs are component planes (one
@@ -398,7 +455,7 @@ def collide_group_planes(model: Model, gpos, gmat, vary_zero, dtype):
     return tuple(all_planes[r][gids] for r in rows)
 
   out = []
-  for (t1g, t2g), grp in groups.items():
+  for gi, ((t1g, t2g), grp) in enumerate(groups.items()):
     if (t1g, t2g) not in _KERNELS:
       raise NotImplementedError(f'no collision kernel for {t1g} vs {t2g}')
     _, k = _KERNELS[(t1g, t2g)]
@@ -408,7 +465,26 @@ def collide_group_planes(model: Model, gpos, gmat, vary_zero, dtype):
     pair_np = np.asarray(grp['pair'], np.int32)
     n = len(g1)
 
-    if m < n:
+    if selinfo is not None and m < n:
+      # Hoisted midphase (see midphase_selinfo): the slot one-hot and the
+      # static payload were computed once per control step; only the
+      # fresh-plane selection matmul remains per substep.
+      si = selinfo[gi]
+      p1 = expand(g1, rows=range(3))
+      p2 = expand(g2, rows=range(3))
+      frames = expand(g1, rows=range(3, 12)) + expand(g2, rows=range(3, 12))
+      dyn = jnp.einsum('kn,pn->pk', si['oh'], jnp.stack(p1 + p2 + frames),
+                       precision=jax.lax.Precision.HIGH)
+      stat = si['stat'] + vary_zero
+      p1 = tuple(dyn[0:3])
+      p2 = tuple(dyn[3:6])
+      m1_ = tuple(dyn[6:15])
+      m2_ = tuple(dyn[15:24])
+      s1 = tuple(stat[0:3])
+      s2 = tuple(stat[3:6])
+      pid = jnp.round(stat[6]).astype(jnp.int32)
+      mar = stat[7]
+    elif m < n:
       # Cheap conservative pair distance (bounding spheres; planes use the
       # true halfspace distance) from position planes only, then top-m.
       p1 = expand(g1, rows=range(3))

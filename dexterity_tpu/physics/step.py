@@ -101,7 +101,8 @@ def _precompute_planes(model: Model, qpos, qvel, mocap_pos, mocap_quat):
               ten_velocity=ten_velocity)
 
 
-def _finish_step(model: Model, data: Data, pre: dict) -> Data:
+def _finish_step(model: Model, data: Data, pre: dict,
+                 selinfo=None) -> Data:
   """Collision, actuation, constraint solve and integration (per-env)."""
   from dexterity_tpu.physics import constraint as constraint_mod
   from dexterity_tpu.physics.collision import primitives
@@ -112,7 +113,8 @@ def _finish_step(model: Model, data: Data, pre: dict) -> Data:
   # top-K selection consumes the groups directly (one-hot contractions at
   # static offsets), saving the 13-plane payload copy per substep.
   contact_groups = primitives.collide_group_planes(
-      model, pre['gpos'], pre['gmat'], data.qpos[0] * 0, dtype)
+      model, pre['gpos'], pre['gmat'], data.qpos[0] * 0, dtype,
+      selinfo=selinfo)
 
   updates = dict(qM=pre['qm'], cdof=cdof6.T,
                  ten_length=pre['ten_length'],
@@ -134,7 +136,7 @@ def _finish_step(model: Model, data: Data, pre: dict) -> Data:
   return smooth.euler_from_smooth(model, data, qfrc_smooth)
 
 
-def step_hot_b(model: Model, data: Data) -> Data:
+def step_hot_b(model: Model, data: Data, selinfo=None) -> Data:
   """Batched step_hot: `data` has a leading batch axis on every field.
 
   Equivalent to vmap(step_hot) (pinned by tests/test_hot_step.py) but the
@@ -154,7 +156,10 @@ def step_hot_b(model: Model, data: Data) -> Data:
       jnp.moveaxis(data.mocap_pos, 0, -1),
       jnp.moveaxis(data.mocap_quat, 0, -1))
   pre_major = jax.tree.map(lambda p: jnp.moveaxis(p, -1, 0), pre)
-  return jax.vmap(lambda d, p: _finish_step(model, d, p))(data, pre_major)
+  if selinfo is None:
+    return jax.vmap(lambda d, p: _finish_step(model, d, p))(data, pre_major)
+  return jax.vmap(lambda d, p, s: _finish_step(model, d, p, selinfo=s))(
+      data, pre_major, selinfo)
 
 
 # True integrator state plus the per-dof/per-actuator dynamics outputs a
@@ -205,22 +210,59 @@ def step_n(model: Model, data: Data, n: int,
 
 
 def step_n_b(model: Model, data: Data, n: int,
-             refresh: str = 'full') -> Data:
+             refresh: str = 'full', midphase: str = 'per_substep') -> Data:
   """Batched step_n (leading batch axis): step_hot_b under the scan.
 
   Same carry/refresh contract as step_n; the refresh stages run under
   vmap (they feed per-env observables/rewards).  Use from planner rollouts
   where the whole candidate population steps in lockstep — the batch-minor
-  tree sweeps inside step_hot_b are the point (see its docstring)."""
+  tree sweeps inside step_hot_b are the point (see its docstring).
+
+  midphase='per_call' hoists the midphase pair selection out of the
+  substep loop: the first substep's FK builds the slot one-hot once
+  (primitives.midphase_selinfo) and every substep of this call reuses it
+  (planner rollouts; the env contract keeps per-substep selection)."""
+  selinfo = None
+  carry0 = {f: getattr(data, f) for f in _STEP_CARRY}
+  n_scan = n
+  if midphase == 'per_call' and model.npair:
+    # The first substep's tree sweep doubles as the selection build: its
+    # geom frames feed midphase_selinfo, then the same `pre` finishes
+    # substep 1 (no extra FK), and substeps 2..n reuse the slot one-hot.
+    from dexterity_tpu.physics.collision import primitives
+    pre0 = _precompute_planes(
+        model,
+        jnp.moveaxis(data.qpos, 0, -1),
+        jnp.moveaxis(data.qvel, 0, -1),
+        jnp.moveaxis(data.mocap_pos, 0, -1),
+        jnp.moveaxis(data.mocap_quat, 0, -1))
+    gpos_major = tuple(jnp.moveaxis(p, -1, 0) for p in pre0['gpos'])
+    gmat_major = tuple(jnp.moveaxis(p, -1, 0) for p in pre0['gmat'])
+    dtype = data.qpos.dtype
+    selinfo = jax.vmap(
+        lambda gp, gm: primitives.midphase_selinfo(model, gp, gm, dtype))(
+            gpos_major, gmat_major)
+    if all(si is None for si in selinfo):
+      selinfo = None
+    else:
+      pre0_major = jax.tree.map(lambda p: jnp.moveaxis(p, -1, 0), pre0)
+      d1 = jax.vmap(lambda d, p, si: _finish_step(model, d, p, selinfo=si))(
+          data, pre0_major, selinfo)
+      carry0 = {f: getattr(d1, f) for f in _STEP_CARRY}
+      n_scan = n - 1
+
   def body(carry, _):
-    d = step_hot_b(model, data.replace(**carry))
+    d = step_hot_b(model, data.replace(**carry), selinfo=selinfo)
     return {f: getattr(d, f) for f in _STEP_CARRY}, ()
 
-  carry0 = {f: getattr(data, f) for f in _STEP_CARRY}
   # Unroll short control-step bursts (3-5 substeps): XLA then fuses across
   # substep boundaries instead of materializing the scan carry in HBM each
   # iteration.  Long rollouts keep the scan (graph size / compile time).
-  carry, _ = jax.lax.scan(body, carry0, (), length=n, unroll=(n <= 8))
+  if n_scan:
+    carry, _ = jax.lax.scan(body, carry0, (), length=n_scan,
+                            unroll=(n_scan <= 8))
+  else:
+    carry = carry0
   data = data.replace(**carry)
   if refresh == 'none':
     return data

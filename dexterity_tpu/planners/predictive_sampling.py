@@ -93,6 +93,13 @@ class PredictiveSamplingConfig:
   # contact model); this is the planning-model simplification MJPC makes
   # by hand-authoring reduced task models.
   plan_self_collision: bool = False
+  # Hoist the midphase pair selection out of the substep loop: one
+  # selection per control step (from the first substep's frames) is
+  # reused by all plan_substeps — the approx_top_k scoring was ~2/3 of
+  # the rollout collision stage.  Geoms move ~mm per control step vs the
+  # cm-scale bounding-sphere slack of the midphase, and the constraint
+  # stage still re-scores the selected slots' true depths every substep.
+  plan_midphase_per_control_step: bool = True
   # Roll the candidate population through the batch-minor hot substep
   # (physics/step.py step_n_b): the FK/CRB/RNE tree sweeps run with the
   # population in the XLA lane axis at full vector width, instead of the
@@ -228,20 +235,28 @@ class PredictiveSampling:
     a trailing batch axis packed into the XLA lane dimension — full-width
     VPU work instead of vmap's batch-major ~3/128-lane layout.
     """
-    model = self.model
-    gen = self.task.goal_generator
-    n_sub = self.n_plan_substeps
     n = actions.shape[0]
     bdata = jax.tree.map(
         lambda x: jnp.broadcast_to(x[None], (n,) + x.shape), data)
-    acts_t = jnp.swapaxes(actions, 0, 1)                 # (H, N, nu)
+    goals = jnp.broadcast_to(goal[None], (n,) + goal.shape)
+    return self.rollout_returns_flat(bdata, goals, actions)
+
+  def rollout_returns_flat(self, bdata: T.Data, goals: jax.Array,
+                           actions: jax.Array) -> jax.Array:
+    """rollout_returns_batched with per-candidate data and goals (leading
+    axis M on everything) — the form multi-stream serving flattens into
+    (solve_batch: M = streams x samples)."""
+    model = self.model
+    gen = self.task.goal_generator
+    n_sub = self.n_plan_substeps
+    acts_t = jnp.swapaxes(actions, 0, 1)                 # (H, M, nu)
     act_ids = jnp.asarray(self._act_ids)
 
-    def per_env_reward(d):
-      dist = gen.goal_distance(goal, gen.current_state(model, d))
-      r = self.task.get_reward(model, d, _reward_state(goal, dist))
+    def per_env_reward(d, g):
+      dist = gen.goal_distance(g, gen.current_state(model, d))
+      r = self.task.get_reward(model, d, _reward_state(g, dist))
       if self.extra_reward_fn is not None:
-        r = r + self.extra_reward_fn(model, d, goal)
+        r = r + self.extra_reward_fn(model, d, g)
       return r, self.task.rollout_failure(model, d)
 
     def control_step(carry, action):
@@ -249,15 +264,18 @@ class PredictiveSampling:
       ctrl = d.ctrl.at[:, act_ids].set(
           jnp.clip(action, self._lo, self._hi))
       d = d.replace(ctrl=ctrl)
-      d = physics_step.step_n_b(model, d, n_sub,
-                                refresh=self.task.plan_refresh)
-      r, fail = jax.vmap(per_env_reward)(d)
+      d = physics_step.step_n_b(
+          model, d, n_sub, refresh=self.task.plan_refresh,
+          midphase=('per_call' if self.config.plan_midphase_per_control_step
+                    else 'per_substep'))
+      r, fail = jax.vmap(per_env_reward)(d, goals)
       alive_after = alive & ~fail
       r = jnp.where(alive_after, r,
                     jnp.where(alive, -self.config.failure_penalty, 0.0))
       return (d, alive_after), r
 
-    alive0 = jnp.ones((n,), bool) & (bdata.qpos[:, 0] == bdata.qpos[:, 0])
+    alive0 = (jnp.ones(bdata.qpos.shape[:1], bool)
+              & (bdata.qpos[:, 0] == bdata.qpos[:, 0]))
     (_, _), rewards = jax.lax.scan(control_step, (bdata, alive0), acts_t)
     return jnp.sum(rewards, axis=0)
 
@@ -321,6 +339,47 @@ class PredictiveSampling:
     nominal = jnp.concatenate([best_seq[1:], best_seq[-1:]])
     new_state = PlannerState(nominal=nominal, best_return=best_ret)
     return best_seq[0], new_state
+
+  def solve_batch(self, data_b: T.Data, goals: jax.Array, pstates,
+                  keys: jax.Array):
+    """G concurrent MPC solves in one program: the (G, num_samples)
+    candidate populations flatten into a single (G*N) rollout batch, so
+    the per-op dispatch overhead that dominates small-batch substeps
+    amortizes across streams (vmap(solve) keeps the streams as an outer
+    batch-major axis and loses that).  Returns (actions (G, nu), new
+    PlannerStates)."""
+    cfg = self.config
+    g = keys.shape[0]
+    best_seq = pstates.nominal                          # (G, H, nu)
+    best_ret = jnp.full((g,), -jnp.inf, self.dtype)
+    mult = 1.0
+    for it in range(max(cfg.iterations, 1)):
+      keys = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
+      noise = jax.vmap(
+          lambda k: self._sample_noise(k, cfg.num_samples - 1))(keys)
+      noise = noise * mult                              # (G, N-1, H, nu)
+      cands = jnp.concatenate(
+          [best_seq[:, None], best_seq[:, None] + noise], axis=1)
+      cands = jnp.clip(cands, self._lo, self._hi)       # (G, N, H, nu)
+      n = cands.shape[1]
+      flat = cands.reshape(g * n, *cands.shape[2:])
+      bdata = jax.tree.map(
+          lambda x: jnp.broadcast_to(
+              x[:, None], (g, n) + x.shape[1:]).reshape(
+                  (g * n,) + x.shape[1:]), data_b)
+      goals_f = jnp.broadcast_to(
+          goals[:, None], (g, n) + goals.shape[1:]).reshape(
+              (g * n,) + goals.shape[1:])
+      returns = self.rollout_returns_flat(bdata, goals_f, flat)
+      returns = returns.reshape(g, n)
+      best = jnp.argmax(returns, axis=1)
+      best_seq = jnp.take_along_axis(
+          cands, best[:, None, None, None], axis=1)[:, 0]
+      best_ret = jnp.take_along_axis(returns, best[:, None], axis=1)[:, 0]
+      mult = mult * cfg.noise_decay
+    nominal = jnp.concatenate([best_seq[:, 1:], best_seq[:, -1:]], axis=1)
+    new_states = PlannerState(nominal=nominal, best_return=best_ret)
+    return best_seq[:, 0], new_states
 
   def action(self, env_state, pstate: PlannerState, key: jax.Array):
     """Convenience: plan from a GoalEnvironment EnvState."""

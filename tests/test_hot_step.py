@@ -131,6 +131,26 @@ def test_step_hot_b_matches_vmap(scene, request):
   np.testing.assert_allclose(got.qacc, ref.qacc, rtol=1e-4, atol=1e-3)
 
 
+def test_step_n_b_midphase_per_call_matches(reorient):
+  """Hoisted midphase (one pair selection per call) == per-substep
+  selection for n=1 exactly, and to integrator-noise level over a
+  5-substep burst (the slot set is stable across a control step)."""
+  model, data = reorient
+  import jax.tree_util as jtu
+  b = 3
+  bdata = jtu.tree_map(
+      lambda x: jnp.broadcast_to(x[None], (b,) + x.shape), data)
+  dq = 1e-3 * jax.random.normal(jax.random.PRNGKey(9), (b, model.nq))
+  bdata = bdata.replace(qpos=bdata.qpos + dq)
+  for n, tol in ((1, 0.0), (5, 1e-5)):
+    a = jax.jit(lambda dd: phys_step.step_n_b(
+        model, dd, n, refresh='none', midphase='per_substep'))(bdata)
+    c = jax.jit(lambda dd: phys_step.step_n_b(
+        model, dd, n, refresh='none', midphase='per_call'))(bdata)
+    np.testing.assert_allclose(c.qpos, a.qpos, atol=max(tol, 0.0))
+    np.testing.assert_allclose(c.qvel, a.qvel, atol=max(tol * 100, 0.0))
+
+
 def test_step_n_b_matches_vmap(reorient):
   model, data = reorient
   b, n = 3, 10

@@ -46,6 +46,14 @@ def main():
   if 'CONTACT_TOP_K' in os.environ:
     opt = opt.replace(contact_top_k=int(os.environ['CONTACT_TOP_K']))
   model = model.replace(opt=opt)
+  if os.environ.get('PROP_ONLY', '0') == '1':
+    from dexterity_tpu.core import types as T
+    moving = T.moving_base_bodies(model)
+    gb = np.asarray(model.geom_bodyid)
+    keep = [i for i in range(model.npair)
+            if int(gb[model.pair_geom1[i]]) in moving
+            or int(gb[model.pair_geom2[i]]) in moving]
+    model = T.subset_pairs(model, keep)
 
   state, _ = jax.jit(env.reset)(jax.random.PRNGKey(0))
   src = state.data

@@ -47,7 +47,7 @@ def main():
   states, _ = jax.jit(jax.vmap(env.reset))(keys)
   pstates = jax.vmap(lambda _: planner.init_state())(jnp.arange(g))
 
-  solve = jax.jit(jax.vmap(planner.solve))
+  solve = jax.jit(planner.solve_batch)
 
   def run(states, pstates, key):
     keys = jax.random.split(key, g)
