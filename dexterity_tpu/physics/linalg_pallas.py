@@ -99,11 +99,21 @@ def _build_pallas(n, tiles, dtype_name):
 
 
 def _factor_kernel(n):
-  def kernel(h_ref, l_ref, a):
-    # Blocks: h (n, n, 1, 8, 128) -> L packed into l_ref (n, n, 1, 8, 128):
-    # strict lower triangle = L[i, k] (i > k), diagonal = inv_d[k]
-    # (1/sqrt of the pivot), upper = garbage.
-    a[...] = h_ref[:, :, 0]
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+
+  def kernel(h_ref, l_ref, a, sems):
+    # Operands stay in HBM (memory_space=ANY); each grid step copies one
+    # (n, n, 8, 128) tile into a single VMEM scratch, factors in place,
+    # and copies it back out.  The automatic block pipeline double-buffers
+    # in+out blocks, which exceeds the 16 MB scoped-VMEM limit at 2+ grid
+    # tiles (B >= 2048); manual DMA keeps exactly one tile resident.
+    i = pl.program_id(0)
+    din = pltpu.make_async_copy(h_ref.at[:, :, i], a, sems.at[0])
+    din.start()
+    din.wait()
+    # Packed factor: strict lower triangle = L[i, k] (i > k), diagonal =
+    # inv_d[k] (1/sqrt of the pivot), upper = garbage.
     for k in range(n):
       inv = jax.lax.rsqrt(jnp.maximum(a[k, k], 1e-12))
       a[k, k] = inv
@@ -111,7 +121,9 @@ def _factor_kernel(n):
         col = a[k + 1:, k] * inv[None]
         a[k + 1:, k + 1:] = a[k + 1:, k + 1:] - col[:, None] * col[None, :]
         a[k + 1:, k] = col
-    l_ref[:, :, 0] = a[...]
+    dout = pltpu.make_async_copy(a, l_ref.at[:, :, i], sems.at[1])
+    dout.start()
+    dout.wait()
   return kernel
 
 
@@ -141,14 +153,12 @@ def _build_factor(n, tiles, dtype_name):
       _factor_kernel(n),
       out_shape=jax.ShapeDtypeStruct((n, n, tiles, _SUB, _LANES), dtype),
       grid=(tiles,),
-      in_specs=[
-          pl.BlockSpec((n, n, 1, _SUB, _LANES), lambda i: (0, 0, i, 0, 0),
-                       memory_space=pltpu.VMEM),
+      in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+      out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+      scratch_shapes=[
+          pltpu.VMEM((n, n, _SUB, _LANES), dtype),
+          pltpu.SemaphoreType.DMA((2,)),
       ],
-      out_specs=pl.BlockSpec((n, n, 1, _SUB, _LANES),
-                             lambda i: (0, 0, i, 0, 0),
-                             memory_space=pltpu.VMEM),
-      scratch_shapes=[pltpu.VMEM((n, n, _SUB, _LANES), dtype)],
   )
 
 
