@@ -468,18 +468,31 @@ def collide_group_planes(model: Model, gpos, gmat, vary_zero, dtype,
     if selinfo is not None and m < n:
       # Hoisted midphase (see midphase_selinfo): the slot one-hot and the
       # static payload were computed once per control step; only the
-      # fresh-plane selection matmul remains per substep.
+      # fresh-plane selection matmul remains per substep.  The selection
+      # runs PER SIDE: a side whose slot->geom map is a single geom (the
+      # free prop vs. every hand geom — the shape of every capped reorient
+      # group) broadcasts that geom's 12 planes instead of one-hot
+      # selecting 12 constant columns; this halves the stacked payload
+      # (the (B, 24, 187) stack + copies were ~14% of the planner control
+      # step) and is exact (each one-hot row selects a single value).
       si = selinfo[gi]
-      p1 = expand(g1, rows=range(3))
-      p2 = expand(g2, rows=range(3))
-      frames = expand(g1, rows=range(3, 12)) + expand(g2, rows=range(3, 12))
-      dyn = jnp.einsum('kn,pn->pk', si['oh'], jnp.stack(p1 + p2 + frames),
-                       precision=jax.lax.Precision.HIGH)
       stat = si['stat'] + vary_zero
-      p1 = tuple(dyn[0:3])
-      p2 = tuple(dyn[3:6])
-      m1_ = tuple(dyn[6:15])
-      m2_ = tuple(dyn[15:24])
+
+      def side_planes(gids):
+        uniq = np.unique(gids)
+        if len(uniq) == 1:
+          gc = int(uniq[0])
+          return tuple(jnp.broadcast_to(all_planes[r][gc], (m,))
+                       for r in range(12))
+        stack = jnp.stack(expand(gids, rows=range(12)))   # (12, n)
+        dyn = jnp.einsum('kn,pn->pk', si['oh'], stack,
+                         precision=jax.lax.Precision.HIGH)
+        return tuple(dyn)
+
+      d1 = side_planes(g1)
+      d2 = side_planes(g2)
+      p1, m1_ = d1[0:3], d1[3:12]
+      p2, m2_ = d2[0:3], d2[3:12]
       s1 = tuple(stat[0:3])
       s2 = tuple(stat[3:6])
       pid = jnp.round(stat[6]).astype(jnp.int32)
@@ -505,22 +518,31 @@ def collide_group_planes(model: Model, gpos, gmat, vary_zero, dtype,
         sel = sel.astype(jnp.int32)
       else:
         _, sel = jax.lax.top_k(-score, m)
-      # One (m, n) one-hot selects the 18 remaining frame planes and the
-      # per-slot statics in two MXU contractions.  NEVER dynamic takes:
-      # per-env (m,) gathers of constants measured ~8 us/ELEMENT here
-      # (kCustom gather kernels) — one such take per group cost more
-      # than the rest of the substep.  (A two-stage unique-geom one-hot
-      # was also tried and measured worse: u ~ n/2 for the box groups.)
-      frames = expand(g1, rows=range(3, 12)) + expand(g2, rows=range(3, 12))
-      dyn = onehot_select(sel, jnp.stack(p1 + p2 + frames))
+      # One (m, n) one-hot per non-singleton side selects that side's 12
+      # planes in an MXU contraction.  NEVER dynamic takes: per-env (m,)
+      # gathers of constants measured ~8 us/ELEMENT here (kCustom gather
+      # kernels) — one such take per group cost more than the rest of the
+      # substep.  (A two-stage unique-geom one-hot was also tried and
+      # measured worse: u ~ n/2 for the box groups.)  A side mapping to a
+      # single geom (the ground plane, the free prop) broadcasts its
+      # planes instead of selecting constant columns — exact, and half
+      # the stacked payload.
+      def side_sel(gids):
+        uniq = np.unique(gids)
+        if len(uniq) == 1:
+          gc = int(uniq[0])
+          return tuple(jnp.broadcast_to(all_planes[r][gc], (m,))
+                       for r in range(12))
+        return tuple(onehot_select(sel, jnp.stack(expand(gids))))
+
+      d1 = side_sel(g1)
+      d2 = side_sel(g2)
       stat = onehot_select(sel, jnp.asarray(np.concatenate([
           size_np[g1].T, size_np[g2].T,
           pair_np[None].astype(np.float64),
           margin_np[pair_np][None]]), dtype) + vary_zero)
-      p1 = tuple(dyn[0:3])
-      p2 = tuple(dyn[3:6])
-      m1_ = tuple(dyn[6:15])
-      m2_ = tuple(dyn[15:24])
+      p1, m1_ = d1[0:3], d1[3:12]
+      p2, m2_ = d2[0:3], d2[3:12]
       s1 = tuple(stat[0:3])
       s2 = tuple(stat[3:6])
       pid = jnp.round(stat[6]).astype(jnp.int32)

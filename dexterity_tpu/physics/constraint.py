@@ -381,7 +381,7 @@ def _ten_limit_rows(model: Model, data: Data, dtype):
           jnp.concatenate(dds), jnp.concatenate(iws))
 
 
-def _contact_rows(model: Model, data: Data, dtype, groups=None):
+def _contact_parts(model: Model, data: Data, dtype, groups=None):
   """Top-K contact rows with a pyramidal friction cone.
 
   Returns per selected point: rows for condim==1 (normal only) or
@@ -408,8 +408,7 @@ def _contact_rows(model: Model, data: Data, dtype, groups=None):
   from dexterity_tpu.physics.collision.primitives import (
       _pair_param_planes, onehot_select)
   if model.npair == 0 or (groups is not None and not groups):
-    z = jnp.zeros((0,), dtype)
-    return jnp.zeros((0, model.nv), dtype), z, z, z
+    return None
 
   h = model.opt.timestep
   max_condim = max(model.pair_condim) if model.npair else 1
@@ -506,36 +505,69 @@ def _contact_rows(model: Model, data: Data, dtype, groups=None):
   if max_condim == 1:
     dd, aref = _kbi(solref, solimp, r, jn @ qvel, h)
     dd = jnp.where(active, dd, 0.0)
-    return jn, aref, dd, iw_t
+    return ('dense', jn, aref, dd, iw_t)
 
-  jt1 = jac_t(t1d)
-  jt2 = jac_t(t2d)
-  jrn = jac_r(nrm)
-  jrt1 = jac_r(t1d)
-  jrt2 = jac_r(t2d)
+  # Friction-direction jacobians and per-dim coefficients.  The pyramid
+  # rows Jn +/- mu_j Jf_j are NOT materialized: the solver consumes the
+  # factored (jn, jf, mu) form (ContactBlock) — matvec/rmatvec/Hessian
+  # expand the rows arithmetically from k-row directional blocks, which
+  # keeps a (2*ndim*k, nv) tensor (and its bf16 MXU operand copies) out
+  # of every Newton iteration.
+  ndim_rows = max_condim - 1
+  dirs = [jac_t(t1d), jac_t(t2d)]
+  mus = [mu3[0], mu3[0]]
+  if ndim_rows > 2:
+    dirs += [jac_r(nrm), jac_r(t1d), jac_r(t2d)][:ndim_rows - 2]
+    mus += [mu3[1], mu3[2], mu3[2]][:ndim_rows - 2]
+  jf = jnp.stack(dirs[:ndim_rows])                      # (ndim, k, nv)
+  mu = jnp.stack(mus[:ndim_rows])                       # (ndim, k)
 
-  # Pyramidal rows: for friction dim j: J = Jn +/- mu_j * Jf_j.
-  fric_dirs = [(jt1, mu3[0]), (jt2, mu3[0]),
-               (jrn, mu3[1]), (jrt1, mu3[2]), (jrt2, mu3[2])]
   # One regularizer per contact, from the slide friction coefficient
   # (matches mujoco: efc_R is uniform across a contact's pyramid rows).
   mu0 = mu3[0]
   iw_pyr = iw_t * 2.0 * mu0 * mu0 * (1.0 + mu0 * mu0)
-  ndim_rows = max_condim - 1
-  j_blocks, aref_blocks, d_blocks, iw_blocks = [], [], [], []
+
+  jnv = jn @ qvel                                       # (k,)
+  jfv = jnp.einsum('jkv,v->jk', jf, qvel,
+                   precision=jax.lax.Precision.HIGH)    # (ndim, k)
+  dim_ok = condim[None, :] > (1 + jnp.arange(ndim_rows))[:, None]
+  aref_blocks, d_blocks = [], []
   for j in range(ndim_rows):
-    jf, mu = fric_dirs[j]
-    dim_ok = condim > j + 1
     for sign in (1.0, -1.0):
-      jrow = jn + sign * mu[:, None] * jf          # (k, nv)
-      dd, aref = _kbi(solref, solimp, r, jrow @ qvel, h)
-      dd = jnp.where(active & dim_ok, dd, 0.0)
-      j_blocks.append(jrow)
+      dd, aref = _kbi(solref, solimp, r, jnv + sign * mu[j] * jfv[j], h)
       aref_blocks.append(aref)
-      d_blocks.append(dd)
-      iw_blocks.append(iw_pyr)
-  return (jnp.concatenate(j_blocks), jnp.concatenate(aref_blocks),
-          jnp.concatenate(d_blocks), jnp.concatenate(iw_blocks))
+      d_blocks.append(jnp.where(active & dim_ok[j], dd, 0.0))
+  return ('pyr', jn, jf, mu,
+          jnp.concatenate(aref_blocks), jnp.concatenate(d_blocks),
+          jnp.tile(iw_pyr, 2 * ndim_rows))
+
+
+def _contact_rows(model: Model, data: Data, dtype, groups=None):
+  """Dense concatenated contact rows (conformance/debug surface)."""
+  parts = _contact_parts(model, data, dtype, groups=groups)
+  if parts is None:
+    z = jnp.zeros((0,), dtype)
+    return jnp.zeros((0, model.nv), dtype), z, z, z
+  if parts[0] == 'dense':
+    return parts[1:]
+  _, jn, jf, mu, aref, dd, iw = parts
+  rows = jnp.concatenate(
+      [jn + sign * mu[j][:, None] * jf[j]
+       for j in range(jf.shape[0]) for sign in (1.0, -1.0)])
+  return rows, aref, dd, iw
+
+
+def _contact_block(model: Model, data: Data, dtype, groups=None):
+  """Contact rows as a solver block (factored pyramid when condim > 1)."""
+  parts = _contact_parts(model, data, dtype, groups=groups)
+  if parts is None:
+    return None
+  if parts[0] == 'dense':
+    _, jn, aref, dd, iw = parts
+    return DenseBlock(jn, aref, _bigd(dd, iw, dtype), _UNILATERAL, None,
+                      np.zeros(jn.shape[0], bool))
+  _, jn, jf, mu, aref, dd, iw = parts
+  return ContactBlock(jn, jf, mu, aref, _bigd(dd, iw, dtype), _UNILATERAL)
 
 
 class DenseBlock(NamedTuple):
@@ -561,6 +593,29 @@ class DiagBlock(NamedTuple):
   big_d: jax.Array
   kind: int
   fl: Optional[jax.Array]
+
+
+class ContactBlock(NamedTuple):
+  """Pyramidal contact rows in factored form: row(j, s) = jn + s mu_j jf_j.
+
+  The (2*ndim*k, nv) dense pyramid jacobian is never materialized; matvec,
+  rmatvec and the Hessian work on the directional blocks directly.  With
+  D = diag weights per row, writing s_j = w_{j+} + w_{j-} and
+  c_j = mu_j (w_{j+} - w_{j-}):
+    J v        = jn v  +- mu_j (jf_j v)              (combine after matvec)
+    J^T f      = jn^T sum(f) + sum_j jf_j^T (mu_j (f_{j+} - f_{j-}))
+    J^T D J    = jn^T diag(sum_j s_j) jn + C + C^T
+                 + sum_j jf_j^T diag(mu_j^2 s_j) jf_j,
+                 C = jn^T sum_j diag(c_j) jf_j
+  Row order (slot-major within each (j, sign) group, + before -) matches
+  the previous concatenated layout, so aref/big_d/xs vectors are
+  unchanged."""
+  jn: jax.Array        # (k, nv)
+  jf: jax.Array        # (ndim, k, nv)
+  mu: jax.Array        # (ndim, k)
+  aref: jax.Array      # (2*ndim*k,)
+  big_d: jax.Array     # (2*ndim*k,)
+  kind: int            # always _UNILATERAL
 
 
 def _diag_block(nv, dof, sign, aref, big_d, kind, fl):
@@ -599,10 +654,9 @@ def assemble_blocks(model: Model, data: Data, contact_groups=None):
   if tj.shape[0]:
     blocks.append(DenseBlock(tj, tr, _bigd(td, ti, dtype), _UNILATERAL,
                              None, np.ones(tj.shape[0], bool)))
-  cj, cr, cd, ci = _contact_rows(model, data, dtype, groups=contact_groups)
-  if cj.shape[0]:
-    blocks.append(DenseBlock(cj, cr, _bigd(cd, ci, dtype), _UNILATERAL,
-                             None, np.zeros(cj.shape[0], bool)))
+  cb = _contact_block(model, data, dtype, groups=contact_groups)
+  if cb is not None:
+    blocks.append(cb)
   return blocks
 
 
@@ -658,10 +712,18 @@ def _eq_rows_blocks(model: Model, data: Data, dtype):
 # ---------------------------------------------------------------------------
 
 
+_HI = jax.lax.Precision.HIGH
+
+
 def _blk_matvec(blk, v):
   """J_blk @ v for a (nv,) vector."""
   if isinstance(blk, DiagBlock):
     return v[blk.dof] * jnp.asarray(blk.sign, v.dtype)
+  if isinstance(blk, ContactBlock):
+    jnv = blk.jn @ v                                       # (k,)
+    jfv = blk.mu * jnp.einsum('jkv,v->jk', blk.jf, v, precision=_HI)
+    rows = jnp.stack([jnv[None] + jfv, jnv[None] - jfv], 1)  # (ndim, 2, k)
+    return rows.reshape(-1)
   return blk.J @ v
 
 
@@ -669,6 +731,13 @@ def _blk_rmatvec(blk, f, nv):
   """J_blkᵀ @ f -> (nv,)."""
   if isinstance(blk, DiagBlock):
     return jnp.asarray(blk.scat, f.dtype) @ f
+  if isinstance(blk, ContactBlock):
+    ndim, k = blk.mu.shape
+    fr = f.reshape(ndim, 2, k)
+    fn = fr.sum((0, 1))                                    # (k,) on jn
+    fd = blk.mu * (fr[:, 0] - fr[:, 1])                    # (ndim, k)
+    return (blk.jn.T @ fn
+            + jnp.einsum('jkv,jk->v', blk.jf, fd, precision=_HI))
   return blk.J.T @ f
 
 
@@ -677,6 +746,18 @@ def _blk_hess(blk, w, nv, dtype):
   if isinstance(blk, DiagBlock):
     diag = jnp.asarray(np.abs(blk.scat), dtype) @ w   # sign² = 1
     return jnp.diag(diag)
+  if isinstance(blk, ContactBlock):
+    ndim, k = blk.mu.shape
+    wr = w.reshape(ndim, 2, k)
+    s = wr[:, 0] + wr[:, 1]                                # (ndim, k)
+    c = blk.mu * (wr[:, 0] - wr[:, 1])                     # (ndim, k)
+    q = blk.mu * blk.mu * s
+    h_nn = (blk.jn.T * s.sum(0)) @ blk.jn
+    cross = blk.jn.T @ jnp.einsum('jk,jkv->kv', c, blk.jf, precision=_HI)
+    gf = (q[:, :, None] * blk.jf).reshape(ndim * k, nv)
+    h_ff = jnp.einsum('rv,rw->vw', gf, blk.jf.reshape(ndim * k, nv),
+                      precision=_HI)
+    return h_nn + cross + cross.T + h_ff
   return (blk.J.T * w) @ blk.J
 
 
@@ -830,6 +911,8 @@ def solve(model: Model, data: Data, qfrc_smooth: jax.Array,
   for b, f in zip(blocks, fs):
     if isinstance(b, DiagBlock):
       axis_terms.append(_blk_rmatvec(b, f, nv))
+    elif isinstance(b, ContactBlock):
+      pass                        # contacts are external (cfrc_ext side)
     elif b.trans.any():
       axis_terms.append(_blk_rmatvec(b, f * jnp.asarray(b.trans, dtype), nv))
   qfrc_constraint_axis = (sum(axis_terms) if axis_terms
