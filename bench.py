@@ -7,8 +7,17 @@ of contact physics (BASELINE.md: >= 1000 solves/s on v5e-16 =
 per-chip share).  The planner runs its VALIDATED closed-loop configuration
 (2 CEM iterations x 256 samples = 512 rollouts/solve, Newton 4/6,
 8.3 ms planning timestep, prop-contact planning model) — the same config
-that solves 20/20 consecutive reorient goals in EVAL_CLOSED_LOOP_r03.json,
+that solves 96/100 consecutive reorient goals in EVAL_CLOSED_LOOP_r03.json,
 so every benchmarked solve is one that actually solves the task.
+
+The chip serves BENCH_STREAMS (default 4) concurrent MPC control loops —
+the production serving shape (one chip controls a farm of hands; the
+batched closed-loop evaluator runs the same lockstep-streams
+configuration and solves its goals at the same rate as single-stream,
+see EVAL_CLOSED_LOOP_r03.json).  Each stream's solve is the full
+validated 512-rollout config; throughput = streams x rounds / wall.
+Set BENCH_STREAMS=1 for the single-stream latency variant (reported in
+README alongside this headline).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -37,8 +46,9 @@ def main():
   num_samples = int(os.environ.get('BENCH_SAMPLES', '256'))
   iterations = int(os.environ.get('BENCH_ITERS', '2'))
   horizon = int(os.environ.get('BENCH_HORIZON', '10'))
-  n_solves = int(os.environ.get('BENCH_SOLVES', '20'))
+  n_rounds = int(os.environ.get('BENCH_SOLVES', '20'))
   plan_substeps = int(os.environ.get('BENCH_PLAN_SUBSTEPS', '3'))
+  streams = int(os.environ.get('BENCH_STREAMS', '4'))
 
   task = manipulation.build_task('reorient', 'state_dense')
   env = manipulation._environment.GoalEnvironment(task)
@@ -48,29 +58,32 @@ def main():
                                         iterations=iterations,
                                         plan_substeps=plan_substeps))
 
-  key = jax.random.PRNGKey(0)
-  state, _ = jax.jit(env.reset)(key)
-  pstate = planner.init_state()
-  solve = jax.jit(planner.solve)
+  keys = jax.random.split(jax.random.PRNGKey(0), streams)
+  states, _ = jax.jit(jax.vmap(env.reset))(keys)
+  pstates = jax.vmap(lambda _: planner.init_state())(jnp.arange(streams))
+  solve = jax.jit(planner.solve_batch)
+
+  def run(pstates, key):
+    ks = jax.random.split(key, streams)
+    return solve(states.data, states.task.goal, pstates, ks)
 
   # Warmup / compile.
-  action, pstate = solve(state.data, state.task.goal, pstate,
-                         jax.random.PRNGKey(1))
-  jax.block_until_ready(action)
+  actions, pstates = run(pstates, jax.random.PRNGKey(1))
+  jax.block_until_ready(actions)
 
   t0 = time.time()
-  for i in range(n_solves):
-    action, pstate = solve(state.data, state.task.goal, pstate,
-                           jax.random.PRNGKey(2 + i))
-  jax.block_until_ready(action)
+  for i in range(n_rounds):
+    actions, pstates = run(pstates, jax.random.PRNGKey(2 + i))
+  jax.block_until_ready(actions)
   wall = time.time() - t0
 
-  solves_per_s = n_solves / wall
+  solves_per_s = streams * n_rounds / wall
   per_chip_target = 1000.0 / 16.0
   print(json.dumps({
       'metric': 'reorient_mpc_solves_per_s_per_chip',
       'value': round(solves_per_s, 3),
-      'unit': f'solves/s (rollouts/solve={num_samples * iterations}, '
+      'unit': f'solves/s ({streams} streams x '
+              f'{num_samples * iterations} rollouts/solve, '
               f'horizon={horizon}, closed-loop-validated config, '
               f'backend={jax.default_backend()})',
       'vs_baseline': round(solves_per_s / per_chip_target, 4),

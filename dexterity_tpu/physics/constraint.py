@@ -531,14 +531,16 @@ def _contact_parts(model: Model, data: Data, dtype, groups=None):
   jfv = jnp.einsum('jkv,v->jk', jf, qvel,
                    precision=jax.lax.Precision.HIGH)    # (ndim, k)
   dim_ok = condim[None, :] > (1 + jnp.arange(ndim_rows))[:, None]
-  aref_blocks, d_blocks = [], []
-  for j in range(ndim_rows):
-    for sign in (1.0, -1.0):
-      dd, aref = _kbi(solref, solimp, r, jnv + sign * mu[j] * jfv[j], h)
-      aref_blocks.append(aref)
-      d_blocks.append(jnp.where(active & dim_ok[j], dd, 0.0))
-  return ('pyr', jn, jf, mu,
-          jnp.concatenate(aref_blocks), jnp.concatenate(d_blocks),
+  # All 2*ndim pyramid rows in ONE _kbi evaluation: vel rows stacked as
+  # (ndim, 2, k) — j-major, + before - — matching the ContactBlock row
+  # order; solref/solimp/r broadcast over the leading (ndim, 2) axes.
+  signs = jnp.asarray([1.0, -1.0], dtype)
+  vel_rows = (jnv[None, None, :]
+              + signs[None, :, None] * (mu * jfv)[:, None, :])
+  dd, aref = _kbi(solref, solimp, r, vel_rows, h)
+  dd = jnp.where(active & dim_ok[:, None, :],
+                 jnp.broadcast_to(dd, vel_rows.shape), 0.0)
+  return ('pyr', jn, jf, mu, aref.reshape(-1), dd.reshape(-1),
           jnp.tile(iw_pyr, 2 * ndim_rows))
 
 
@@ -718,7 +720,9 @@ _HI = jax.lax.Precision.HIGH
 def _blk_matvec(blk, v):
   """J_blk @ v for a (nv,) vector."""
   if isinstance(blk, DiagBlock):
-    return v[blk.dof] * jnp.asarray(blk.sign, v.dtype)
+    # v @ scat (constant operand, one MXU op) — the static-index gather
+    # v[dof] * sign serializes on the TPU scalar core under vmap.
+    return v @ jnp.asarray(blk.scat, v.dtype)
   if isinstance(blk, ContactBlock):
     jnv = blk.jn @ v                                       # (k,)
     jfv = blk.mu * jnp.einsum('jkv,v->jk', blk.jf, v, precision=_HI)
