@@ -475,12 +475,13 @@ def box_box(p1, m1, s1, p2, m2, s2):
   dist_face, (pu8, pv8) = masked_topk_select(
       dist_cand, [cu_all, cv_all], 8)                      # (8, m) each
 
-  # Dedupe coincident selections.
-  dup = jnp.zeros_like(dist_face, dtype=bool)
-  for i in range(1, 8):
-    close = ((jnp.abs(pu8[:i] - pu8[i]) + jnp.abs(pv8[:i] - pv8[i]))
-             < 1e-7) & (dist_face[:i] < _BIG * 0.5)
-    dup = dup.at[i].set(jnp.any(close, axis=0))
+  # Dedupe coincident selections: one (8, 8, m) pairwise closeness test
+  # (slot i is a dup of any earlier valid slot j < i) instead of a
+  # per-slot Python loop of 28 sequential compare/any ops.
+  close = ((jnp.abs(pu8[None, :] - pu8[:, None])
+            + jnp.abs(pv8[None, :] - pv8[:, None])) < 1e-7)
+  earlier = (np.arange(8)[None, :] < np.arange(8)[:, None])[..., None]
+  dup = jnp.any(close & earlier & (dist_face[None, :] < _BIG * 0.5), axis=1)
   dist_face = jnp.where(dup, _BIG, dist_face)
 
   mid_h = s_axis + 0.5 * jnp.minimum(dist_face, 0.0)       # (8, m)

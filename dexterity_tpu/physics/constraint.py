@@ -620,6 +620,41 @@ class ContactBlock(NamedTuple):
   kind: int            # always _UNILATERAL
 
 
+class StaticBlock(NamedTuple):
+  """Rows whose jacobian is a compile-time constant, merged across types.
+
+  Frictionloss (J = e_dof), scalar joint limits (sign * e_dof) and tendon
+  limits (sign * tendon_moment) all have static jacobians; merging them
+  means each Newton iteration touches all of them with ONE
+  constant-operand matvec / rmatvec / weighted-Hessian contraction (MXU)
+  instead of one set per block, and one line-search cost evaluation.  The
+  mixed row kinds (frictionloss Huber vs unilateral) are a static mask.
+  Row order inside the block keeps the reference efc ordering
+  (frictionloss, joint limits, tendon limits)."""
+  J: np.ndarray        # (n, nv) constant jacobian
+  jt: np.ndarray       # (nv, n) constant transpose (matvec operand)
+  jj: np.ndarray       # (n, nv*nv) constant J[r,i]*J[r,j] (Hessian operand)
+  aref: jax.Array
+  big_d: jax.Array
+  fl: jax.Array        # (n,) frictionloss bound (0 on non-FL rows)
+  m_fl: np.ndarray     # (n,) static: True on frictionloss rows
+
+
+def _static_block(nv, parts, dtype):
+  """parts: list of (J_const (n_i, nv) np, aref, big_d, fl or None)."""
+  js = np.concatenate([p[0] for p in parts])
+  n = js.shape[0]
+  aref = jnp.concatenate([p[1] for p in parts])
+  big_d = jnp.concatenate([p[2] for p in parts])
+  fl = jnp.concatenate([
+      p[3] if p[3] is not None else jnp.zeros(p[0].shape[0], dtype)
+      for p in parts])
+  m_fl = np.concatenate([np.full(p[0].shape[0], p[3] is not None)
+                         for p in parts])
+  jj = np.einsum('ri,rj->rij', js, js).reshape(n, nv * nv)
+  return StaticBlock(js, js.T.copy(), jj, aref, big_d, fl, m_fl)
+
+
 def _diag_block(nv, dof, sign, aref, big_d, kind, fl):
   scat = np.zeros((nv, len(dof)))
   scat[dof, np.arange(len(dof))] = sign
@@ -644,18 +679,28 @@ def assemble_blocks(model: Model, data: Data, contact_groups=None):
   if ej.shape[0]:
     blocks.append(DenseBlock(ej, er, _bigd(ed, ei, dtype), _BILATERAL,
                              None, etrans))
+  static_parts = []
   fdof, fr, fd, fi, ffl = _fl_rows(model, data, dtype)
   if len(fdof):
-    blocks.append(_diag_block(model.nv, fdof, np.ones(len(fdof)), fr,
-                              _bigd(fd, fi, dtype), _FRICTIONLOSS, ffl))
+    jfl = np.zeros((len(fdof), model.nv))
+    jfl[np.arange(len(fdof)), fdof] = 1.0
+    static_parts.append((jfl, fr, _bigd(fd, fi, dtype), ffl))
   ldof, lsign, lr, ld, li = _jnt_limit_rows(model, data, dtype)
   if len(ldof):
-    blocks.append(_diag_block(model.nv, ldof, lsign, lr,
-                              _bigd(ld, li, dtype), _UNILATERAL, None))
+    jl = np.zeros((len(ldof), model.nv))
+    jl[np.arange(len(ldof)), ldof] = lsign
+    static_parts.append((jl, lr, _bigd(ld, li, dtype), None))
   tj, tr, td, ti = _ten_limit_rows(model, data, dtype)
   if tj.shape[0]:
-    blocks.append(DenseBlock(tj, tr, _bigd(td, ti, dtype), _UNILATERAL,
-                             None, np.ones(tj.shape[0], bool)))
+    # The tendon-limit jacobian is sign * tendon_moment — a model constant
+    # (same _fl_rows convention: numpy straight from the concrete model
+    # arrays; `tj` itself is a tracer under jit).
+    tids = [ti_ for ti_ in range(model.ntendon) if model.tendon_limited[ti_]]
+    tm = np.asarray(jax.device_get(model.tendon_moment))[np.asarray(tids)]
+    static_parts.append((np.concatenate([tm, -tm]), tr,
+                         _bigd(td, ti, dtype), None))
+  if static_parts:
+    blocks.append(_static_block(model.nv, static_parts, dtype))
   cb = _contact_block(model, data, dtype, groups=contact_groups)
   if cb is not None:
     blocks.append(cb)
@@ -719,6 +764,8 @@ _HI = jax.lax.Precision.HIGH
 
 def _blk_matvec(blk, v):
   """J_blk @ v for a (nv,) vector."""
+  if isinstance(blk, StaticBlock):
+    return v @ jnp.asarray(blk.jt, v.dtype)   # constant operand, one MXU op
   if isinstance(blk, DiagBlock):
     # v @ scat (constant operand, one MXU op) — the static-index gather
     # v[dof] * sign serializes on the TPU scalar core under vmap.
@@ -733,6 +780,8 @@ def _blk_matvec(blk, v):
 
 def _blk_rmatvec(blk, f, nv):
   """J_blkᵀ @ f -> (nv,)."""
+  if isinstance(blk, StaticBlock):
+    return f @ jnp.asarray(blk.J, f.dtype)
   if isinstance(blk, DiagBlock):
     return jnp.asarray(blk.scat, f.dtype) @ f
   if isinstance(blk, ContactBlock):
@@ -747,6 +796,9 @@ def _blk_rmatvec(blk, f, nv):
 
 def _blk_hess(blk, w, nv, dtype):
   """J_blkᵀ diag(w) J_blk -> (nv, nv)."""
+  if isinstance(blk, StaticBlock):
+    # One constant-operand contraction: w (n,) @ jj (n, nv²) on the MXU.
+    return (w @ jnp.asarray(blk.jj, dtype)).reshape(nv, nv)
   if isinstance(blk, DiagBlock):
     diag = jnp.asarray(np.abs(blk.scat), dtype) @ w   # sign² = 1
     return jnp.diag(diag)
@@ -767,8 +819,17 @@ def _blk_hess(blk, w, nv, dtype):
 
 def _blk_force_weight(blk, x):
   """Per-row constraint force -s'(x) and Hessian weight s''(x);
-  the row type is static per block (no kind selects)."""
+  the row type is static per block (kind selects only in StaticBlock,
+  through a compile-time mask)."""
   f_quad = -blk.big_d * x
+  if isinstance(blk, StaticBlock):
+    m_fl = jnp.asarray(blk.m_fl)
+    uni_act = (x < 0) & ~m_fl
+    in_cone = (jnp.abs(f_quad) < blk.fl) & m_fl
+    f = jnp.where(m_fl, jnp.clip(f_quad, -blk.fl, blk.fl),
+                  jnp.where(uni_act, f_quad, 0.0))
+    w = jnp.where(in_cone | uni_act, blk.big_d, 0.0)
+    return f, w
   if blk.kind == _BILATERAL:
     return f_quad, blk.big_d
   if blk.kind == _FRICTIONLOSS:
@@ -782,6 +843,13 @@ def _blk_force_weight(blk, x):
 def _blk_cost(blk, x):
   """Per-block convex penalty s(x), summed over the last axis."""
   quad = 0.5 * blk.big_d * x * x
+  if isinstance(blk, StaticBlock):
+    m_fl = jnp.asarray(blk.m_fl)
+    lin = blk.fl * jnp.abs(x) - 0.5 * blk.fl * blk.fl / jnp.maximum(
+        blk.big_d, 1e-12)
+    c_fl = jnp.where(jnp.abs(blk.big_d * x) < blk.fl, quad, lin)
+    c_uni = jnp.where(x < 0, quad, 0.0)
+    return jnp.sum(jnp.where(m_fl, c_fl, c_uni), axis=-1)
   if blk.kind == _BILATERAL:
     return jnp.sum(quad, axis=-1)
   if blk.kind == _FRICTIONLOSS:
@@ -913,8 +981,8 @@ def solve(model: Model, data: Data, qfrc_smooth: jax.Array,
   # blocks carry a static per-row mask (skipped entirely when all-False).
   axis_terms = []
   for b, f in zip(blocks, fs):
-    if isinstance(b, DiagBlock):
-      axis_terms.append(_blk_rmatvec(b, f, nv))
+    if isinstance(b, (DiagBlock, StaticBlock)):
+      axis_terms.append(_blk_rmatvec(b, f, nv))  # always joint-transmitted
     elif isinstance(b, ContactBlock):
       pass                        # contacts are external (cfrc_ext side)
     elif b.trans.any():

@@ -200,31 +200,45 @@ def _pad_tiles(x_t, b, fill_eye=None):
 
 
 def cholesky_factor_b(h):
-  """(B, n, n) SPD -> packed factor (B, n, n) for cholesky_resolve_b.
+  """(..., n, n) SPD -> packed factor (..., n, n) for cholesky_resolve_b.
 
-  TPU-only batched Pallas path (lower triangle = L, diagonal = 1/L[k,k]);
-  on other backends returns h itself (resolve falls back to a dense
-  solve).  Gradients are not defined through the packed factor — use
-  cholesky_solve for differentiable paths."""
+  Rank-polymorphic: every leading axis is a batch axis (nested vmaps —
+  e.g. env batch x candidate population — compose through custom_vmap by
+  stacking leading dims).  TPU-only batched Pallas path (lower triangle =
+  L, diagonal = 1/L[k,k]); on other backends returns h itself (resolve
+  falls back to a dense solve).  Gradients are not defined through the
+  packed factor — use cholesky_solve for differentiable paths."""
   if jax.default_backend() != 'tpu' or h.dtype not in (jnp.float32,):
     return h
-  b, n, _ = h.shape
-  h_t, tiles, b_pad = _pad_tiles(jnp.moveaxis(h, 0, -1), b, fill_eye=True)
+  batch_shape = h.shape[:-2]
+  n = h.shape[-1]
+  h2 = h.reshape((-1, n, n))
+  b = h2.shape[0]
+  h_t, tiles, b_pad = _pad_tiles(jnp.moveaxis(h2, 0, -1), b, fill_eye=True)
   l_t = _build_factor(n, tiles, str(h.dtype))(h_t)
-  return jnp.moveaxis(l_t.reshape(n, n, b_pad)[..., :b], -1, 0)
+  out = jnp.moveaxis(l_t.reshape(n, n, b_pad)[..., :b], -1, 0)
+  return out.reshape(batch_shape + (n, n))
 
 
 def cholesky_resolve_b(l, g):
-  """Solves with a packed factor from cholesky_factor_b: (B, n, n), (B, n)
-  -> (B, n)."""
+  """Solves with a packed factor from cholesky_factor_b: (..., n, n),
+  (..., n) -> (..., n); leading axes are batch axes."""
   if jax.default_backend() != 'tpu' or l.dtype not in (jnp.float32,):
-    return jax.vmap(lambda hh, gg: jax.scipy.linalg.cho_solve(
-        jax.scipy.linalg.cho_factor(hh), gg))(l, g)
-  b, n, _ = l.shape
-  l_t, tiles, b_pad = _pad_tiles(jnp.moveaxis(l, 0, -1), b, fill_eye=True)
-  g_t, _, _ = _pad_tiles(jnp.moveaxis(g, 0, -1), b)
+    l2 = l.reshape((-1,) + l.shape[-2:])
+    g2 = g.reshape((-1,) + g.shape[-1:])
+    out = jax.vmap(lambda hh, gg: jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(hh), gg))(l2, g2)
+    return out.reshape(g.shape)
+  batch_shape = l.shape[:-2]
+  n = l.shape[-1]
+  l2 = l.reshape((-1, n, n))
+  g2 = g.reshape((-1, n))
+  b = l2.shape[0]
+  l_t, tiles, b_pad = _pad_tiles(jnp.moveaxis(l2, 0, -1), b, fill_eye=True)
+  g_t, _, _ = _pad_tiles(jnp.moveaxis(g2, 0, -1), b)
   x_t = _build_resolve(n, tiles, str(l.dtype))(l_t, g_t)
-  return jnp.moveaxis(x_t.reshape(n, b_pad)[:, :b], -1, 0)
+  out = jnp.moveaxis(x_t.reshape(n, b_pad)[:, :b], -1, 0)
+  return out.reshape(batch_shape + (n,))
 
 
 @jax.custom_batching.custom_vmap
@@ -232,21 +246,31 @@ def cholesky_factor(h: jax.Array) -> jax.Array:
   """Opaque factor for cholesky_resolve (pair them; formats differ by
   backend).  Unbatched / non-TPU: the matrix itself (resolve factorizes).
   Batched on TPU: the packed Pallas factor.  NOT differentiable — keep
-  cholesky_solve for autodiff paths."""
-  return h
+  cholesky_solve for autodiff paths.
+
+  The vmap rule recursively re-enters this same custom_vmap function, so
+  NESTED vmaps (e.g. env batch x candidate population in the batched
+  closed-loop evaluator) peel one batch axis per level and the body only
+  ever executes once, with every batch axis stacked in the leading dims —
+  vmap'ing the Pallas call itself is unsupported (ANY-space operands)."""
+  if h.ndim == 2:
+    return h
+  return cholesky_factor_b(h)
 
 
 @cholesky_factor.def_vmap
 def _cholesky_factor_vmap(axis_size, in_batched, h):
   if not in_batched[0]:
     h = jnp.broadcast_to(h, (axis_size,) + h.shape)
-  return cholesky_factor_b(h), True
+  return cholesky_factor(h), True
 
 
 @jax.custom_batching.custom_vmap
 def cholesky_resolve(f: jax.Array, g: jax.Array) -> jax.Array:
   """Solves H x = g given f = cholesky_factor(H)."""
-  return jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(f), g)
+  if f.ndim == 2:
+    return jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(f), g)
+  return cholesky_resolve_b(f, g)
 
 
 @cholesky_resolve.def_vmap
@@ -256,18 +280,24 @@ def _cholesky_resolve_vmap(axis_size, in_batched, f, g):
     f = jnp.broadcast_to(f, (axis_size,) + f.shape)
   if not g_b:
     g = jnp.broadcast_to(g, (axis_size,) + g.shape)
-  return cholesky_resolve_b(f, g), True
+  return cholesky_resolve(f, g), True
 
 
 def _batched_impl(h, g):
-  """(B, n, n), (B, n) -> (B, n)."""
-  b, n, _ = h.shape
+  """(..., n, n), (..., n) -> (..., n); leading axes are batch axes."""
+  n = h.shape[-1]
+  batch_shape = h.shape[:-2]
   use_pallas = os.environ.get('DEXTERITY_TPU_PALLAS_LINALG', '1') == '1'
   if (not use_pallas or jax.default_backend() != 'tpu' or n > 48
       or h.dtype not in (jnp.float32,)):
-    return jax.vmap(
+    out = jax.vmap(
         lambda hh, gg: jax.scipy.linalg.cho_solve(
-            jax.scipy.linalg.cho_factor(hh), gg))(h, g)
+            jax.scipy.linalg.cho_factor(hh), gg))(
+                h.reshape((-1, n, n)), g.reshape((-1, n)))
+    return out.reshape(g.shape)
+  h = h.reshape((-1, n, n))
+  g = g.reshape((-1, n))
+  b = h.shape[0]
   b_pad = -(-b // _TILE) * _TILE
   h_t = jnp.moveaxis(h, 0, -1)                       # (n, n, B)
   g_t = jnp.moveaxis(g, 0, -1)                       # (n, B)
@@ -283,21 +313,25 @@ def _batched_impl(h, g):
   g_t = g_t.reshape(n, tiles, _SUB, _LANES)
   x_t = _build_pallas(n, tiles, str(h.dtype))(h_t, g_t)
   x = x_t.reshape(n, b_pad)[:, :b]
-  return jnp.moveaxis(x, -1, 0)
+  return jnp.moveaxis(x, -1, 0).reshape(batch_shape + (n,))
 
 
 @jax.custom_batching.custom_vmap
 def _raw_cholesky_solve(h: jax.Array, g: jax.Array) -> jax.Array:
-  return jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(h), g)
+  if h.ndim == 2:
+    return jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(h), g)
+  return _batched_impl(h, g)
 
 
 @_raw_cholesky_solve.def_vmap
 def _cholesky_solve_vmap(axis_size, in_batched, h, g):
+  # Recursive re-entry: nested vmaps peel one batch axis per level (see
+  # cholesky_factor docstring).
   h_b, g_b = in_batched
   if not (h_b and g_b):
     h = h if h_b else jnp.broadcast_to(h, (axis_size,) + h.shape)
     g = g if g_b else jnp.broadcast_to(g, (axis_size,) + g.shape)
-  return _batched_impl(h, g), True
+  return _raw_cholesky_solve(h, g), True
 
 
 def cholesky_solve(h: jax.Array, g: jax.Array) -> jax.Array:

@@ -354,9 +354,13 @@ class PredictiveSampling:
     best_ret = jnp.full((g,), -jnp.inf, self.dtype)
     mult = 1.0
     for it in range(max(cfg.iterations, 1)):
+      # Same per-stream key schedule as solve() (carry split[0], sample
+      # with split[1]) so solve_batch == vmap(solve) exactly
+      # (tests/test_planners.py).
+      subs = jax.vmap(lambda k: jax.random.split(k)[1])(keys)
       keys = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
       noise = jax.vmap(
-          lambda k: self._sample_noise(k, cfg.num_samples - 1))(keys)
+          lambda k: self._sample_noise(k, cfg.num_samples - 1))(subs)
       noise = noise * mult                              # (G, N-1, H, nu)
       cands = jnp.concatenate(
           [best_seq[:, None], best_seq[:, None] + noise], axis=1)

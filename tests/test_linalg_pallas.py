@@ -29,3 +29,35 @@ def test_vmapped_matches_dense_solve():
       jnp.asarray(h), jnp.asarray(g)))
   ref = np.stack([np.linalg.solve(h[i], g[i]) for i in range(b)])
   np.testing.assert_allclose(x, ref, rtol=1e-7, atol=1e-9)
+
+
+def test_nested_vmap_matches_dense_solve():
+  """Nested vmaps (env batch x candidate batch, the batched closed-loop
+  evaluator shape) must peel batch axes recursively instead of vmapping
+  the Pallas call itself (regression: ANY-space operand lowering error)."""
+  rng = np.random.RandomState(2)
+  b1, b2, n = 3, 5, 8
+  a = rng.randn(b1, b2, n, n)
+  h = np.einsum('cbij,cbkj->cbik', a, a) + 3 * np.eye(n)
+  g = rng.randn(b1, b2, n)
+  x = np.asarray(jax.jit(jax.vmap(jax.vmap(LP.cholesky_solve)))(
+      jnp.asarray(h), jnp.asarray(g)))
+  ref = np.linalg.solve(h, g[..., None])[..., 0]
+  np.testing.assert_allclose(x, ref, rtol=1e-7, atol=1e-9)
+
+
+def test_nested_vmap_factor_resolve():
+  rng = np.random.RandomState(3)
+  b1, b2, n = 2, 6, 9
+  a = rng.randn(b1, b2, n, n)
+  h = np.einsum('cbij,cbkj->cbik', a, a) + 3 * np.eye(n)
+  g = rng.randn(b1, b2, n)
+
+  def fr(hh, gg):
+    f = LP.cholesky_factor(hh)
+    return LP.cholesky_resolve(f, gg)
+
+  x = np.asarray(jax.jit(jax.vmap(jax.vmap(fr)))(
+      jnp.asarray(h), jnp.asarray(g)))
+  ref = np.linalg.solve(h, g[..., None])[..., 0]
+  np.testing.assert_allclose(x, ref, rtol=1e-7, atol=1e-9)

@@ -76,3 +76,29 @@ def test_ilqr_improves_reach():
     passive, _ = step(passive, jnp.zeros(planner.nu))
   assert _mean_dist(state) < 0.8 * _mean_dist(passive), (
       _mean_dist(state), _mean_dist(passive))
+
+
+def test_solve_batch_matches_vmapped_solve():
+  """solve_batch (the multi-stream serving/bench path) == vmap(solve):
+  same key schedule, same candidate populations, same chosen plans."""
+  from dexterity_tpu.planners import predictive_sampling as ps
+  env, reset, step = _reach()
+  planner = ps.PredictiveSampling(
+      env.task, ps.PredictiveSamplingConfig(horizon=2, num_samples=8,
+                                            iterations=2, noise_scale=0.3))
+  g = 3
+  keys = jax.random.split(jax.random.PRNGKey(1), g)
+  states, _ = jax.jit(jax.vmap(env.reset))(keys)
+  pstates = jax.vmap(lambda _: planner.init_state())(jnp.arange(g))
+  solve_keys = jax.random.split(jax.random.PRNGKey(2), g)
+
+  a_ref, ps_ref = jax.jit(jax.vmap(planner.solve))(
+      states.data, states.task.goal, pstates, solve_keys)
+  a_b, ps_b = jax.jit(planner.solve_batch)(
+      states.data, states.task.goal, pstates, solve_keys)
+
+  np.testing.assert_allclose(np.asarray(a_b), np.asarray(a_ref),
+                             rtol=1e-5, atol=1e-6)
+  np.testing.assert_allclose(np.asarray(ps_b.nominal),
+                             np.asarray(ps_ref.nominal),
+                             rtol=1e-5, atol=1e-6)
