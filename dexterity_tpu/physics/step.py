@@ -171,6 +171,14 @@ _STEP_CARRY = ('time', 'qpos', 'qvel', 'qacc', 'qacc_smooth', 'qfrc_bias',
                'qfrc_constraint_axis', 'actuator_length',
                'actuator_velocity', 'actuator_force')
 
+# Planner-rollout carry: rewards/failure predicates under refresh='none'
+# read qpos/qvel only, and the Newton warm start reads qacc — the ten
+# dynamics-output fields above exist for env observables and just ride the
+# scan as dead copies (XLA can't alias scan carries it rewrites; the carry
+# copies were ~4% of a bench solve).  The non-carried fields keep their
+# pre-rollout values.
+_STEP_CARRY_MIN = ('time', 'qpos', 'qvel', 'qacc')
+
 
 def step_n(model: Model, data: Data, n: int,
            refresh: str = 'full') -> Data:
@@ -210,7 +218,8 @@ def step_n(model: Model, data: Data, n: int,
 
 
 def step_n_b(model: Model, data: Data, n: int,
-             refresh: str = 'full', midphase: str = 'per_substep') -> Data:
+             refresh: str = 'full', midphase: str = 'per_substep',
+             carry: str = 'full') -> Data:
   """Batched step_n (leading batch axis): step_hot_b under the scan.
 
   Same carry/refresh contract as step_n; the refresh stages run under
@@ -221,9 +230,14 @@ def step_n_b(model: Model, data: Data, n: int,
   midphase='per_call' hoists the midphase pair selection out of the
   substep loop: the first substep's FK builds the slot one-hot once
   (primitives.midphase_selinfo) and every substep of this call reuses it
-  (planner rollouts; the env contract keeps per-substep selection)."""
+  (planner rollouts; the env contract keeps per-substep selection).
+
+  carry='minimal' rides only (time, qpos, qvel, qacc) through the scan —
+  for planner rollouts whose rewards read qpos/qvel (see _STEP_CARRY_MIN);
+  the env contract keeps the full dynamics-output carry."""
+  fields = _STEP_CARRY_MIN if carry == 'minimal' else _STEP_CARRY
   selinfo = None
-  carry0 = {f: getattr(data, f) for f in _STEP_CARRY}
+  carry0 = {f: getattr(data, f) for f in fields}
   n_scan = n
   if midphase == 'per_call' and model.npair:
     # The first substep's tree sweep doubles as the selection build: its
@@ -248,12 +262,12 @@ def step_n_b(model: Model, data: Data, n: int,
       pre0_major = jax.tree.map(lambda p: jnp.moveaxis(p, -1, 0), pre0)
       d1 = jax.vmap(lambda d, p, si: _finish_step(model, d, p, selinfo=si))(
           data, pre0_major, selinfo)
-      carry0 = {f: getattr(d1, f) for f in _STEP_CARRY}
+      carry0 = {f: getattr(d1, f) for f in fields}
       n_scan = n - 1
 
   def body(carry, _):
     d = step_hot_b(model, data.replace(**carry), selinfo=selinfo)
-    return {f: getattr(d, f) for f in _STEP_CARRY}, ()
+    return {f: getattr(d, f) for f in fields}, ()
 
   # Unroll short control-step bursts (3-5 substeps): XLA then fuses across
   # substep boundaries instead of materializing the scan carry in HBM each

@@ -267,7 +267,13 @@ class PredictiveSampling:
       d = physics_step.step_n_b(
           model, d, n_sub, refresh=self.task.plan_refresh,
           midphase=('per_call' if self.config.plan_midphase_per_control_step
-                    else 'per_substep'))
+                    else 'per_substep'),
+          # Position-level planning rewards never read the dynamics-output
+          # fields; dropping them from the scan carry removes their
+          # per-control-step carry copies (identical trajectory: the
+          # substep recomputes everything from qpos/qvel/ctrl + qacc).
+          carry=('minimal' if self.task.plan_refresh in ('none', 'position')
+                 else 'full'))
       r, fail = jax.vmap(per_env_reward)(d, goals)
       alive_after = alive & ~fail
       r = jnp.where(alive_after, r,

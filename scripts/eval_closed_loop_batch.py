@@ -9,7 +9,7 @@ intervals per TPU-hour.
 
 Knobs (env vars): GOALS (32) SAMPLES (256) HORIZON (10) KNOTS (4)
   TEMP NOISE ITERS NOISE_DECAY FAIL_PEN PLAN_SUBSTEPS SHAPING
-  PLAN_SOLVER_ITS (4) PLAN_LS_ITS (6)
+  PLAN_SOLVER_ITS (4) PLAN_LS_ITS (6) PLAN_REFAC (2)
   SHAPE_HORIZ SHAPE_DROP SHAPE_MARGIN SHAPE_VEL STEPS (300) SEED
 """
 
@@ -83,7 +83,8 @@ def main():
           iterations=iters, noise_decay=noise_decay,
           failure_penalty=fail_pen,
           solver_iterations=int(os.environ.get('PLAN_SOLVER_ITS', '4')),
-          ls_iterations=int(os.environ.get('PLAN_LS_ITS', '6'))),
+          ls_iterations=int(os.environ.get('PLAN_LS_ITS', '6')),
+          solver_refactor_every=int(os.environ.get('PLAN_REFAC', '2'))),
       extra_reward_fn=keep_in_hand if shaping_on else None)
 
   # One jitted control step, host loop over steps.  A single on-device
