@@ -519,7 +519,11 @@ def _contact_parts(model: Model, data: Data, dtype, groups=None):
   if ndim_rows > 2:
     dirs += [jac_r(nrm), jac_r(t1d), jac_r(t2d)][:ndim_rows - 2]
     mus += [mu3[1], mu3[2], mu3[2]][:ndim_rows - 2]
-  jf = jnp.stack(dirs[:ndim_rows])                      # (ndim, k, nv)
+  # One stacked directional operand R = [jn; jf_1..jf_ndim]: the solver's
+  # matvec / rmatvec / Hessian each become a SINGLE contraction against R
+  # (one bf16 MXU operand copy per use instead of separate jn and jf ones).
+  rmat = jnp.stack([jn] + dirs[:ndim_rows])             # (1+ndim, k, nv)
+  jf = rmat[1:]                                         # (ndim, k, nv)
   mu = jnp.stack(mus[:ndim_rows])                       # (ndim, k)
 
   # One regularizer per contact, from the slide friction coefficient
@@ -540,7 +544,7 @@ def _contact_parts(model: Model, data: Data, dtype, groups=None):
   dd, aref = _kbi(solref, solimp, r, vel_rows, h)
   dd = jnp.where(active & dim_ok[:, None, :],
                  jnp.broadcast_to(dd, vel_rows.shape), 0.0)
-  return ('pyr', jn, jf, mu, aref.reshape(-1), dd.reshape(-1),
+  return ('pyr', rmat, mu, aref.reshape(-1), dd.reshape(-1),
           jnp.tile(iw_pyr, 2 * ndim_rows))
 
 
@@ -552,7 +556,8 @@ def _contact_rows(model: Model, data: Data, dtype, groups=None):
     return jnp.zeros((0, model.nv), dtype), z, z, z
   if parts[0] == 'dense':
     return parts[1:]
-  _, jn, jf, mu, aref, dd, iw = parts
+  _, rmat, mu, aref, dd, iw = parts
+  jn, jf = rmat[0], rmat[1:]
   rows = jnp.concatenate(
       [jn + sign * mu[j][:, None] * jf[j]
        for j in range(jf.shape[0]) for sign in (1.0, -1.0)])
@@ -568,8 +573,8 @@ def _contact_block(model: Model, data: Data, dtype, groups=None):
     _, jn, aref, dd, iw = parts
     return DenseBlock(jn, aref, _bigd(dd, iw, dtype), _UNILATERAL, None,
                       np.zeros(jn.shape[0], bool))
-  _, jn, jf, mu, aref, dd, iw = parts
-  return ContactBlock(jn, jf, mu, aref, _bigd(dd, iw, dtype), _UNILATERAL)
+  _, rmat, mu, aref, dd, iw = parts
+  return ContactBlock(rmat, mu, aref, _bigd(dd, iw, dtype), _UNILATERAL)
 
 
 class DenseBlock(NamedTuple):
@@ -601,19 +606,19 @@ class ContactBlock(NamedTuple):
   """Pyramidal contact rows in factored form: row(j, s) = jn + s mu_j jf_j.
 
   The (2*ndim*k, nv) dense pyramid jacobian is never materialized; matvec,
-  rmatvec and the Hessian work on the directional blocks directly.  With
-  D = diag weights per row, writing s_j = w_{j+} + w_{j-} and
-  c_j = mu_j (w_{j+} - w_{j-}):
-    J v        = jn v  +- mu_j (jf_j v)              (combine after matvec)
-    J^T f      = jn^T sum(f) + sum_j jf_j^T (mu_j (f_{j+} - f_{j-}))
-    J^T D J    = jn^T diag(sum_j s_j) jn + C + C^T
-                 + sum_j jf_j^T diag(mu_j^2 s_j) jf_j,
-                 C = jn^T sum_j diag(c_j) jf_j
-  Row order (slot-major within each (j, sign) group, + before -) matches
-  the previous concatenated layout, so aref/big_d/xs vectors are
-  unchanged."""
-  jn: jax.Array        # (k, nv)
-  jf: jax.Array        # (ndim, k, nv)
+  rmatvec and the Hessian work on ONE stacked directional operand
+  R = [jn; jf_1..jf_ndim] (1+ndim, k, nv).  With D = diag weights per row,
+  writing s_j = w_{j+} + w_{j-} and c_j = mu_j (w_{j+} - w_{j-}),
+  q_j = mu_j^2 s_j:
+    J v   : rv = R v, then rows(j, s) = rv_0 +- mu_j rv_j (combine rows)
+    J^T f : R^T coef with coef_0 = sum(f), coef_j = mu_j (f_{j+} - f_{j-})
+    J^T D J = R^T P, P_0 = (sum_j s_j) jn + sum_j c_j jf_j,
+              P_j = c_j jn + q_j jf_j
+  — each a single contraction against R (one MXU operand copy per use);
+  the mixing coefficients are tiny VPU work.  Row order (slot-major within
+  each (j, sign) group, + before -) matches the previous concatenated
+  layout, so aref/big_d/xs vectors are unchanged."""
+  r: jax.Array         # (1+ndim, k, nv) stacked [jn; jf_1..jf_ndim]
   mu: jax.Array        # (ndim, k)
   aref: jax.Array      # (2*ndim*k,)
   big_d: jax.Array     # (2*ndim*k,)
@@ -771,8 +776,8 @@ def _blk_matvec(blk, v):
     # v[dof] * sign serializes on the TPU scalar core under vmap.
     return v @ jnp.asarray(blk.scat, v.dtype)
   if isinstance(blk, ContactBlock):
-    jnv = blk.jn @ v                                       # (k,)
-    jfv = blk.mu * jnp.einsum('jkv,v->jk', blk.jf, v, precision=_HI)
+    rv = jnp.einsum('jkv,v->jk', blk.r, v, precision=_HI)  # (1+ndim, k)
+    jnv, jfv = rv[0], blk.mu * rv[1:]
     rows = jnp.stack([jnv[None] + jfv, jnv[None] - jfv], 1)  # (ndim, 2, k)
     return rows.reshape(-1)
   return blk.J @ v
@@ -789,8 +794,8 @@ def _blk_rmatvec(blk, f, nv):
     fr = f.reshape(ndim, 2, k)
     fn = fr.sum((0, 1))                                    # (k,) on jn
     fd = blk.mu * (fr[:, 0] - fr[:, 1])                    # (ndim, k)
-    return (blk.jn.T @ fn
-            + jnp.einsum('jkv,jk->v', blk.jf, fd, precision=_HI))
+    coef = jnp.concatenate([fn[None], fd])                 # (1+ndim, k)
+    return jnp.einsum('jkv,jk->v', blk.r, coef, precision=_HI)
   return blk.J.T @ f
 
 
@@ -808,12 +813,12 @@ def _blk_hess(blk, w, nv, dtype):
     s = wr[:, 0] + wr[:, 1]                                # (ndim, k)
     c = blk.mu * (wr[:, 0] - wr[:, 1])                     # (ndim, k)
     q = blk.mu * blk.mu * s
-    h_nn = (blk.jn.T * s.sum(0)) @ blk.jn
-    cross = blk.jn.T @ jnp.einsum('jk,jkv->kv', c, blk.jf, precision=_HI)
-    gf = (q[:, :, None] * blk.jf).reshape(ndim * k, nv)
-    h_ff = jnp.einsum('rv,rw->vw', gf, blk.jf.reshape(ndim * k, nv),
-                      precision=_HI)
-    return h_nn + cross + cross.T + h_ff
+    jn, jf = blk.r[0:1], blk.r[1:]
+    p0 = s.sum(0)[None, :, None] * jn + jnp.sum(
+        c[:, :, None] * jf, axis=0, keepdims=True)         # (1, k, nv)
+    pj = c[:, :, None] * jn + q[:, :, None] * jf           # (ndim, k, nv)
+    p = jnp.concatenate([p0, pj])                          # (1+ndim, k, nv)
+    return jnp.einsum('jkv,jkw->vw', blk.r, p, precision=_HI)
   return (blk.J.T * w) @ blk.J
 
 
@@ -937,9 +942,15 @@ def solve(model: Model, data: Data, qfrc_smooth: jax.Array,
     costs = (quad0 + alphas * lin + alphas * alphas * quad2
              + row_cost(tuple(x[None, :] + alphas[:, None] * jd[None, :]
                               for x, jd in zip(xs, jds))))
-    best = jnp.argmin(costs)
-    improved = costs[best] < c0
-    step = jnp.where(improved, alphas[best], 0.0)
+    # Gather-free argmin: alphas[argmin(costs)] as a one-hot dot (the
+    # per-env dynamic gather serialized on the TPU scalar core under vmap —
+    # ~3% of the solve).  argmin ties resolve to the first (largest) alpha,
+    # matching jnp.argmin's first-occurrence convention.
+    cmin = jnp.min(costs)
+    is_min = costs == cmin
+    first = is_min & (jnp.cumsum(is_min) == 1)
+    step = jnp.where(cmin < c0,
+                     jnp.sum(jnp.where(first, alphas, 0.0)), 0.0)
     new_xs = tuple(x + step * jd for x, jd in zip(xs, jds))
     return (a + step * delta, new_xs, ma + step * md), fac
 

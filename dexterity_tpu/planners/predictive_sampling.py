@@ -359,6 +359,16 @@ class PredictiveSampling:
     best_seq = pstates.nominal                          # (G, H, nu)
     best_ret = jnp.full((g,), -jnp.inf, self.dtype)
     mult = 1.0
+    # The flattened (G*N) rollout initial state and goals are identical
+    # across CEM iterations — build them once outside the loop.
+    n_flat = cfg.num_samples
+    bdata = jax.tree.map(
+        lambda x: jnp.broadcast_to(
+            x[:, None], (g, n_flat) + x.shape[1:]).reshape(
+                (g * n_flat,) + x.shape[1:]), data_b)
+    goals_f = jnp.broadcast_to(
+        goals[:, None], (g, n_flat) + goals.shape[1:]).reshape(
+            (g * n_flat,) + goals.shape[1:])
     for it in range(max(cfg.iterations, 1)):
       # Same per-stream key schedule as solve() (carry split[0], sample
       # with split[1]) so solve_batch == vmap(solve) exactly
@@ -373,13 +383,6 @@ class PredictiveSampling:
       cands = jnp.clip(cands, self._lo, self._hi)       # (G, N, H, nu)
       n = cands.shape[1]
       flat = cands.reshape(g * n, *cands.shape[2:])
-      bdata = jax.tree.map(
-          lambda x: jnp.broadcast_to(
-              x[:, None], (g, n) + x.shape[1:]).reshape(
-                  (g * n,) + x.shape[1:]), data_b)
-      goals_f = jnp.broadcast_to(
-          goals[:, None], (g, n) + goals.shape[1:]).reshape(
-              (g * n,) + goals.shape[1:])
       returns = self.rollout_returns_flat(bdata, goals_f, flat)
       returns = returns.reshape(g, n)
       best = jnp.argmax(returns, axis=1)
