@@ -2,9 +2,20 @@
 
 The per-solve candidate population splits across the mesh's batch axis via
 shard_map; every device rolls out its shard of candidates through the full
-contact physics, reduces to a local best, and a cross-device all_gather +
-argmax picks the global winner (the collective rides ICI within a slice and
-DCN across hosts — BASELINE.json north-star reduction pattern).
+contact physics and an all_gather of the per-shard returns reconstructs the
+complete (num_samples,) return vector on every shard, so plan selection
+(argmax, or MPPI softmax averaging) is the exact single-device code path.
+The collective rides ICI within a slice and DCN across hosts
+(BASELINE.json north-star reduction pattern).
+
+Config parity with the validated closed-loop planner (VERDICT r3 item 1):
+the sharded solve runs the full CEM refinement loop (`iterations`,
+`noise_decay`), spline-knot exploration noise (`_sample_noise`), the
+reduced planning model, the failure penalty, and the batch-minor hot
+rollout path (`rollout_returns_batched`) — byte-for-byte the same
+candidate sets and selection rule as `PredictiveSampling.solve`, so an
+N-chip deployment reproduces the single-chip closed-loop success rate.
+`tests/test_multichip.py` pins sharded_solve(8 devices) == solve().
 """
 
 from __future__ import annotations
@@ -23,52 +34,157 @@ except AttributeError:  # pragma: no cover
   from jax.experimental.shard_map import shard_map
 
 
+def _vary(x, axis=BATCH_AXIS):
+  """Promote a replicated value to shard-varying (scan-carry typechecking
+  inside shard_map — values mix with per-shard candidates in rollouts)."""
+  if hasattr(jax.lax, 'pcast'):
+    return jax.lax.pcast(x, axis, to='varying')
+  return jax.lax.pvary(x, axis)
+
+
+def _shard_iteration(planner: PredictiveSampling, n_dev: int, idx, data,
+                     goal, nominal, key, noise_mult):
+  """One CEM iteration with rollouts sharded over `n_dev` devices.
+
+  Every shard regenerates the FULL candidate set from the replicated key
+  (noise generation is ~N*H*nu floats — negligible next to one rollout),
+  evaluates only its contiguous slice, and all_gathers the per-shard
+  returns back into the complete (num_samples,) vector.  Selection then
+  runs the exact `PredictiveSampling._one_iteration` rule on identical
+  inputs, so sharded and unsharded solves pick the same plan.
+  """
+  cfg = planner.config
+  noise = planner._sample_noise(key, cfg.num_samples - 1) * noise_mult
+  candidates = jnp.concatenate([nominal[None], nominal[None] + noise])
+  candidates = jnp.clip(candidates, planner._lo, planner._hi)
+  n = cfg.num_samples
+  per = -(-n // n_dev)                                # ceil
+  if per * n_dev > n:                                  # pad with repeats
+    pad = jnp.broadcast_to(candidates[-1:],
+                           (per * n_dev - n,) + candidates.shape[1:])
+    cands_padded = jnp.concatenate([candidates, pad])
+  else:
+    cands_padded = candidates
+  mine = jax.lax.dynamic_slice_in_dim(cands_padded, idx * per, per, axis=0)
+  local_returns = planner.rollout_returns_batched(data, goal, mine)
+  all_r = jax.lax.all_gather(local_returns, BATCH_AXIS)   # (n_dev, per)
+  returns = all_r.reshape(per * n_dev)[:n]
+  best = jnp.argmax(returns)
+  if cfg.temperature > 0:
+    spread = jnp.maximum(returns.max() - returns.min(), 1e-6)
+    w = jax.nn.softmax((returns - returns.max())
+                       / (cfg.temperature * spread))
+    seq = jnp.einsum('n,nhu->hu', w, candidates)
+    seq = jnp.clip(seq, planner._lo, planner._hi)
+  else:
+    seq = candidates[best]
+  return seq, returns[best]
+
+
 def sharded_solve(planner: PredictiveSampling, mesh, data, goal,
                   pstate: PlannerState, key: jax.Array):
-  """One population-sharded MPC solve. All inputs replicated; the candidate
-  axis lives only inside the shard_map body."""
+  """One population-sharded MPC solve at full validated-planner fidelity.
+
+  All inputs replicated; the candidate axis lives only inside the
+  shard_map body.  Runs the complete CEM loop (`config.iterations` with
+  `noise_decay`) with spline-knot noise through the reduced planning
+  model — the same schedule as `PredictiveSampling.solve`, with the same
+  key-split sequence, so results match the single-device solve.
+  """
   cfg = planner.config
   n_dev = mesh.shape[BATCH_AXIS]
-  per_shard = max(1, cfg.num_samples // n_dev)
-  rng = planner._hi - planner._lo
 
   def body(data, goal, nominal, key):
     idx = jax.lax.axis_index(BATCH_AXIS)
-    key = jax.random.fold_in(key, idx)
-    # Promote replicated inputs to shard-varying so scan carries typecheck
-    # (values mix with per-shard candidates inside the rollouts).
-    def _vary(x):
-      if hasattr(jax.lax, 'pcast'):
-        return jax.lax.pcast(x, BATCH_AXIS, to='varying')
-      return jax.lax.pvary(x, BATCH_AXIS)
     data = jax.tree_util.tree_map(_vary, data)
     goal = _vary(goal)
-    nominal = _vary(nominal)
-    noise = (jax.random.normal(
-        key, (per_shard, cfg.horizon, planner.nu), planner.dtype)
-        * cfg.noise_scale * rng)
-    # Every shard also evaluates the unperturbed nominal (free insurance
-    # against regressions; duplicates cost nothing).
-    cands = jnp.concatenate([nominal[None], nominal[None] + noise])
-    cands = jnp.clip(cands, planner._lo, planner._hi)
-    returns = jax.vmap(
-        lambda a: planner.rollout_return(data, goal, a))(cands)
-    li = jnp.argmax(returns)
-    local_best_r = returns[li]
-    local_best_seq = cands[li]
-    # Cross-shard reduction.
-    all_r = jax.lax.all_gather(local_best_r, BATCH_AXIS)     # (n_dev,)
-    all_seq = jax.lax.all_gather(local_best_seq, BATCH_AXIS)
-    gi = jnp.argmax(all_r)
-    best_seq = all_seq[gi]
+    best_seq = _vary(nominal)
+    best_ret = jnp.asarray(-jnp.inf, planner.dtype)
+    mult = 1.0
+    for _ in range(max(cfg.iterations, 1)):
+      key, sub = jax.random.split(key)
+      best_seq, best_ret = _shard_iteration(
+          planner, n_dev, idx, data, goal, best_seq, sub, mult)
+      mult = mult * cfg.noise_decay
     action = best_seq[0]
     nominal_next = jnp.concatenate([best_seq[1:], best_seq[-1:]])
     # Outputs are identical on every shard; emit with a leading shard axis
     # (out_specs P('batch')) and slice one copy outside.
-    return (action[None], nominal_next[None], all_r[gi][None])
+    return (action[None], nominal_next[None], best_ret[None])
 
   fn = shard_map(body, mesh=mesh,
                  in_specs=(P(), P(), P(), P()),
                  out_specs=(P(BATCH_AXIS), P(BATCH_AXIS), P(BATCH_AXIS)))
   action, nominal, best_r = fn(data, goal, pstate.nominal, key)
   return action[0], PlannerState(nominal=nominal[0], best_return=best_r[0])
+
+
+def sharded_solve_batch(planner: PredictiveSampling, mesh, data_b, goals,
+                        pstates: PlannerState, keys: jax.Array):
+  """G concurrent population-sharded MPC solves (multi-stream serving form).
+
+  The flattened (G * num_samples) rollout batch shards across the mesh;
+  per-stream selection happens on the gathered (G, num_samples) returns
+  with the exact `solve_batch` key schedule, so results match the
+  single-device `solve_batch` (argmax selection; temperature > 0 is not
+  supported in the batched form, matching `solve_batch`).
+  """
+  cfg = planner.config
+  n_dev = mesh.shape[BATCH_AXIS]
+  g = keys.shape[0]
+  n = cfg.num_samples
+
+  def body(data_b, goals, nominal, keys):
+    idx = jax.lax.axis_index(BATCH_AXIS)
+    data_b = jax.tree_util.tree_map(_vary, data_b)
+    goals = _vary(goals)
+    best_seq = _vary(nominal)                           # (G, H, nu)
+    best_ret = jnp.full((g,), -jnp.inf, planner.dtype)
+    mult = 1.0
+    # Flattened per-candidate initial states/goals, sliced to this shard
+    # once (identical across CEM iterations).
+    bdata = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(
+            x[:, None], (g, n) + x.shape[1:]).reshape(
+                (g * n,) + x.shape[1:]), data_b)
+    goals_f = jnp.broadcast_to(
+        goals[:, None], (g, n) + goals.shape[1:]).reshape(
+            (g * n,) + goals.shape[1:])
+    total = g * n
+    per = -(-total // n_dev)
+    def pad_slice(x):
+      if per * n_dev > total:
+        padding = jnp.broadcast_to(x[-1:], (per * n_dev - total,) + x.shape[1:])
+        x = jnp.concatenate([x, padding])
+      return jax.lax.dynamic_slice_in_dim(x, idx * per, per, axis=0)
+    bdata_my = jax.tree_util.tree_map(pad_slice, bdata)
+    goals_my = pad_slice(goals_f)
+    for _ in range(max(cfg.iterations, 1)):
+      subs = jax.vmap(lambda k: jax.random.split(k)[1])(keys)
+      keys = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
+      noise = jax.vmap(
+          lambda k: planner._sample_noise(k, n - 1))(subs) * mult
+      cands = jnp.concatenate(
+          [best_seq[:, None], best_seq[:, None] + noise], axis=1)
+      cands = jnp.clip(cands, planner._lo, planner._hi)  # (G, N, H, nu)
+      flat = cands.reshape(total, *cands.shape[2:])
+      flat_my = pad_slice(flat)
+      local_returns = planner.rollout_returns_flat(bdata_my, goals_my,
+                                                   flat_my)
+      all_r = jax.lax.all_gather(local_returns, BATCH_AXIS)
+      returns = all_r.reshape(per * n_dev)[:total].reshape(g, n)
+      best = jnp.argmax(returns, axis=1)
+      best_seq = jnp.take_along_axis(
+          cands, best[:, None, None, None], axis=1)[:, 0]
+      best_ret = jnp.take_along_axis(returns, best[:, None], axis=1)[:, 0]
+      mult = mult * cfg.noise_decay
+    actions = best_seq[:, 0]
+    nominal_next = jnp.concatenate(
+        [best_seq[:, 1:], best_seq[:, -1:]], axis=1)
+    return (actions[None], nominal_next[None], best_ret[None])
+
+  fn = shard_map(body, mesh=mesh,
+                 in_specs=(P(), P(), P(), P()),
+                 out_specs=(P(BATCH_AXIS), P(BATCH_AXIS), P(BATCH_AXIS)))
+  actions, nominal, best_r = fn(data_b, goals, pstates.nominal, keys)
+  return actions[0], PlannerState(nominal=nominal[0], best_return=best_r[0])
