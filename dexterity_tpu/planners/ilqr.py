@@ -3,9 +3,19 @@
 First-order planner complementing predictive sampling (BASELINE.json
 configs: "Successive goal reorientation ..., iLQR/SQP MPC, H=32").  The
 dynamics step is fully differentiable (constraint Newton iterations are
-unrolled scans), so linearizations come from jax.jacobian; the backward
-Riccati recursion is a lax.scan with Levenberg-style regularization and a
-parallel forward line search over step sizes.
+unrolled scans; the Cholesky solves are lax.custom_linear_solve, so
+derivatives come from implicit differentiation), so linearizations come
+from one forward-mode jacobian over the combined (x, u) input — (nx+nu)
+batched JVPs stream through the substep scan without storing reverse-mode
+residuals.  The backward Riccati recursion is a lax.scan with adaptive
+Levenberg regularization and a parallel forward line search (alpha = 0 is
+always a candidate, so an iteration can never regress).
+
+Planning runs on the same reduced model as predictive sampling
+(planners/common.py): coarser timestep, smaller contact budget,
+moving-base-only collision pairs.  NOTE: forward AD requires the exact
+Newton path — `solver_refactor_every` is pinned to 1 (the stale-factor
+Pallas resolve has no JVP rule).
 
 State chart: x = [qpos, qvel] (quaternions re-normalized inside the step;
 derivatives live in the ambient chart, which is standard for MJPC-style
@@ -15,7 +25,7 @@ iLQR on quaternion states).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -24,6 +34,7 @@ import numpy as np
 from dexterity_tpu import task as task_lib
 from dexterity_tpu.core import types as T
 from dexterity_tpu.physics import step as physics_step
+from dexterity_tpu.planners import common
 from dexterity_tpu.utils.structs import pytree_dataclass
 
 
@@ -31,11 +42,20 @@ from dexterity_tpu.utils.structs import pytree_dataclass
 class ILQRConfig:
   horizon: int = 16
   iterations: int = 4          # iLQR outer iterations per solve
-  reg: float = 1e-6            # Hessian regularization
-  line_search_steps: int = 6   # parallel alphas 1, 1/2, ... 1/2^k
+  reg_init: float = 1e-4       # Levenberg regularization (adapted in-solve)
+  reg_min: float = 1e-8
+  reg_max: float = 1e4
+  line_search_steps: int = 6   # parallel alphas 0, 1, 1/2, ... 1/2^(k-2)
   ctrl_cost: float = 1e-3      # quadratic control penalty
-  solver_iterations: int = 2   # reduced-fidelity planning physics
-  ls_iterations: int = 4
+  # Reduced-fidelity planning physics (same knobs as predictive sampling;
+  # refactor_every is forced to 1 — see module docstring).
+  solver_iterations: int = 4
+  ls_iterations: int = 6
+  plan_substeps: Optional[int] = None
+  plan_midphase_cap: Optional[int] = 24
+  plan_contact_top_k: Optional[int] = 24
+  plan_implicit_damping: bool = True
+  plan_self_collision: bool = False
 
 
 @pytree_dataclass
@@ -45,16 +65,32 @@ class ILQRState:
 
 
 class ILQR:
-  """iLQR MPC over a GoalTask."""
+  """iLQR MPC over a GoalTask.
+
+  Args:
+    extra_cost_fn: optional (model, data, goal) -> scalar planning cost
+      added to the per-step cost (MJPC-style shaping richer than the env
+      reward; mirror of PredictiveSampling's extra_reward_fn but in cost
+      convention — positive = penalized).
+  """
 
   def __init__(self, task: task_lib.GoalTask,
-               config: ILQRConfig = ILQRConfig(), dtype=None):
+               config: ILQRConfig = ILQRConfig(), dtype=None,
+               extra_cost_fn: Optional[Callable] = None):
     self.task = task
     self.config = config
-    model = task.compile()
-    self.model = model.replace(opt=model.opt.replace(
+    self.extra_cost_fn = extra_cost_fn
+    self.model, self.n_plan_substeps = common.reduced_planning_model(
+        task,
         solver_iterations=config.solver_iterations,
-        ls_iterations=config.ls_iterations))
+        ls_iterations=config.ls_iterations,
+        solver_refactor_every=1,
+        plan_substeps=config.plan_substeps,
+        plan_midphase_cap=config.plan_midphase_cap,
+        plan_contact_top_k=config.plan_contact_top_k,
+        plan_implicit_damping=config.plan_implicit_damping,
+        plan_self_collision=config.plan_self_collision)
+    model = self.model
     self.dtype = dtype if dtype is not None else jnp.zeros(0).dtype
     spec = task.action_spec(model)
     self._lo = jnp.asarray(np.where(np.isfinite(spec.minimum),
@@ -82,7 +118,8 @@ class ILQR:
     ctrl = d.ctrl.at[jnp.asarray(self._act_ids)].set(
         jnp.clip(u, self._lo, self._hi))
     d = d.replace(ctrl=ctrl)
-    d = physics_step.step_n(self.model, d, self.task.n_substeps)
+    d = physics_step.step_n(self.model, d, self.n_plan_substeps,
+                            refresh=self.task.plan_refresh)
     return self._pack(d)
 
   def _cost(self, template: T.Data, goal, x: jax.Array,
@@ -93,13 +130,28 @@ class ILQR:
     dist = gen.goal_distance(goal, gen.current_state(self.model, d))
     from dexterity_tpu.planners.predictive_sampling import _reward_state
     r = self.task.get_reward(self.model, d, _reward_state(goal, dist))
-    return -r + self.config.ctrl_cost * jnp.sum(u * u)
+    c = -r + self.config.ctrl_cost * jnp.sum(u * u)
+    if self.extra_cost_fn is not None:
+      c = c + self.extra_cost_fn(self.model, d, goal)
+    return c
 
   # -- solver ---------------------------------------------------------------
 
   def init_state(self) -> ILQRState:
     mid = (self._lo + self._hi) / 2.0
     return ILQRState(us=jnp.tile(mid, (self.config.horizon, 1)),
+                     cost=jnp.asarray(jnp.inf, self.dtype))
+
+  def warm_start(self, plan: jax.Array) -> ILQRState:
+    """ILQRState seeded from another planner's action sequence (H', nu) —
+    the MJPC-standard hybrid: predictive sampling explores, iLQR refines.
+    Plans shorter than the horizon repeat their last action."""
+    h = self.config.horizon
+    us = plan[:h]
+    if us.shape[0] < h:
+      us = jnp.concatenate(
+          [us, jnp.tile(us[-1:], (h - us.shape[0], 1))])
+    return ILQRState(us=jnp.asarray(us, self.dtype),
                      cost=jnp.asarray(jnp.inf, self.dtype))
 
   def trajectory_cost(self, template, goal, x0, us):
@@ -114,6 +166,7 @@ class ILQR:
     cfg = self.config
     template = data
     x0 = self._pack(data)
+    nx, nu = self.nx, self.nu
 
     def rollout(us):
       def body(x, u):
@@ -123,13 +176,21 @@ class ILQR:
       return xs                                    # (H, nx) pre-step states
 
     def linearize(x, u):
-      fx = jax.jacrev(lambda xx: self._f(template, xx, u))(x)
-      fu = jax.jacrev(lambda uu: self._f(template, x, uu))(u)
-      cx = jax.grad(lambda xx: self._cost(template, goal, xx, u))(x)
-      cu = jax.grad(lambda uu: self._cost(template, goal, x, uu))(u)
-      return fx, fu, cx, cu
+      """One forward-mode jacobian over the combined (x, u) input: nx+nu
+      batched JVPs through the substep scan (reverse mode would store the
+      full Newton-solver residuals for every substep)."""
+      z = jnp.concatenate([x, u])
 
-    def ilqr_iter(us, _):
+      def f_c(zz):
+        fx = self._f(template, zz[:nx], zz[nx:])
+        cx = self._cost(template, goal, zz[:nx], zz[nx:])
+        return fx, cx
+
+      (fz, cz) = jax.jacfwd(f_c)(z)
+      return fz[:, :nx], fz[:, nx:], cz[:nx], cz[nx:]
+
+    def ilqr_iter(carry, _):
+      us, cost_prev, reg = carry
       xs = rollout(us)
       fx, fu, cx, cu = jax.vmap(linearize)(xs, us)
 
@@ -140,10 +201,9 @@ class ILQR:
         fx_t, fu_t, cx_t, cu_t = inp
         qx = cx_t + fx_t.T @ vx
         qu = cu_t + fu_t.T @ vx
-        qxx = fx_t.T @ vxx @ fx_t + cfg.reg * jnp.eye(self.nx,
-                                                      dtype=self.dtype)
-        quu = fu_t.T @ vxx @ fu_t + (2 * cfg.ctrl_cost + cfg.reg) * jnp.eye(
-            self.nu, dtype=self.dtype)
+        qxx = fx_t.T @ vxx @ fx_t + reg * jnp.eye(nx, dtype=self.dtype)
+        quu = fu_t.T @ vxx @ fu_t + (2 * cfg.ctrl_cost + reg) * jnp.eye(
+            nu, dtype=self.dtype)
         qux = fu_t.T @ vxx @ fx_t
         chol = jax.scipy.linalg.cho_factor(quu)
         k = -jax.scipy.linalg.cho_solve(chol, qu)
@@ -153,12 +213,15 @@ class ILQR:
         vxx_new = 0.5 * (vxx_new + vxx_new.T)
         return (vx_new, vxx_new), (k, kk)
 
-      init = (jnp.zeros(self.nx, self.dtype),
-              cfg.reg * jnp.eye(self.nx, dtype=self.dtype))
+      init = (jnp.zeros(nx, self.dtype),
+              reg * jnp.eye(nx, dtype=self.dtype))
       _, (ks, kks) = jax.lax.scan(backward, init, (fx, fu, cx, cu),
                                   reverse=True)
 
-      # Forward line search over parallel step sizes.
+      # Forward line search over parallel step sizes.  alpha = 0 replays
+      # the nominal exactly (x starts on-trajectory, so the feedback term
+      # vanishes), giving the nominal cost for free AND guaranteeing the
+      # argmin never regresses.
       def forward(alpha):
         def body(carry, inp):
           x = carry
@@ -171,17 +234,23 @@ class ILQR:
         _, (us_new, cs) = jax.lax.scan(body, x0, (us, xs, ks, kks))
         return us_new, jnp.sum(cs)
 
-      alphas = 2.0 ** -jnp.arange(cfg.line_search_steps, dtype=self.dtype)
+      alphas = jnp.concatenate([
+          jnp.zeros(1, self.dtype),
+          2.0 ** -jnp.arange(cfg.line_search_steps - 1, dtype=self.dtype)])
       us_cands, costs = jax.vmap(forward)(alphas)
-      cost0 = self.trajectory_cost(template, goal, x0, us)
       best = jnp.argmin(costs)
-      improved = costs[best] < cost0
-      us_out = jnp.where(improved, us_cands[best], us)
-      return us_out, jnp.minimum(costs[best], cost0)
+      cost0 = costs[0]                              # nominal (alpha = 0)
+      improved = costs[best] < cost0 - 1e-9 * jnp.abs(cost0)
+      # Levenberg adaptation: success -> trust the quadratic model more.
+      reg_new = jnp.where(improved,
+                          jnp.maximum(reg * 0.5, cfg.reg_min),
+                          jnp.minimum(reg * 4.0, cfg.reg_max))
+      return (us_cands[best], costs[best], reg_new), costs[best]
 
-    us, costs = jax.lax.scan(ilqr_iter, state.us, (),
-                             length=cfg.iterations)
-    final_cost = costs[-1]
+    init_carry = (state.us, jnp.asarray(jnp.inf, self.dtype),
+                  jnp.asarray(cfg.reg_init, self.dtype))
+    (us, final_cost, _), _ = jax.lax.scan(ilqr_iter, init_carry, (),
+                                          length=cfg.iterations)
     action = us[0]
     # Receding horizon shift.
     us_next = jnp.concatenate([us[1:], us[-1:]])

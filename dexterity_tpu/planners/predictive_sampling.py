@@ -23,6 +23,7 @@ import numpy as np
 from dexterity_tpu import task as task_lib
 from dexterity_tpu.core import types as T
 from dexterity_tpu.physics import step as physics_step
+from dexterity_tpu.planners import common
 
 
 @dataclasses.dataclass(frozen=True)
@@ -132,34 +133,20 @@ class PredictiveSampling:
     self.task = task
     self.config = config
     self.extra_reward_fn = extra_reward_fn
-    model = task.compile()
     # Reduced-fidelity planning model (same arrays, fewer solver iters,
-    # optionally a coarser integration timestep).
-    opt = model.opt.replace(
+    # optionally a coarser integration timestep) — shared with iLQR
+    # (planners/common.py).
+    self.model, self.n_plan_substeps = common.reduced_planning_model(
+        task,
         solver_iterations=config.solver_iterations,
         ls_iterations=config.ls_iterations,
-        solver_refactor_every=config.solver_refactor_every)
-    if config.plan_midphase_cap:
-      opt = opt.replace(midphase_cap=config.plan_midphase_cap)
-    if config.plan_contact_top_k:
-      opt = opt.replace(contact_top_k=config.plan_contact_top_k)
-    self.n_plan_substeps = (config.plan_substeps if config.plan_substeps
-                            else task.n_substeps)
-    if config.plan_substeps:
-      opt = opt.replace(
-          timestep=task.control_timestep / config.plan_substeps)
-    if config.plan_implicit_damping:
-      opt = opt.replace(implicit_damping=True)
-    plan_model = model.replace(opt=opt)
-    if not config.plan_self_collision:
-      moving = T.moving_base_bodies(model)
-      gb = np.asarray(model.geom_bodyid)
-      keep = [i for i in range(model.npair)
-              if int(gb[model.pair_geom1[i]]) in moving
-              or int(gb[model.pair_geom2[i]]) in moving]
-      if len(keep) < model.npair:
-        plan_model = T.subset_pairs(plan_model, keep)
-    self.model = plan_model
+        solver_refactor_every=config.solver_refactor_every,
+        plan_substeps=config.plan_substeps,
+        plan_midphase_cap=config.plan_midphase_cap,
+        plan_contact_top_k=config.plan_contact_top_k,
+        plan_implicit_damping=config.plan_implicit_damping,
+        plan_self_collision=config.plan_self_collision)
+    model = self.model
     self.dtype = dtype if dtype is not None else jnp.zeros(0).dtype
     spec = task.action_spec(model)
     lo = np.where(np.isfinite(spec.minimum), spec.minimum, -1.0)
