@@ -1,20 +1,27 @@
 """Population-sharded MPC scaling measurement (BASELINE.md >80% target).
 
-Measures sharded reorient solve throughput at 1/2/4/8 devices and writes
-SCALING_r{N}.json.  Two modes:
+Round-4 form (VERDICT r3 item 1): the thing being scaled is the VALIDATED
+closed-loop planner config — 256 samples x 2 CEM iterations, horizon 10,
+plan_substeps=3, Newton 4/6, spline-knot noise — not a toy.  Strong
+scaling: the fixed 256-candidate population shards across 1/2/4/8 devices
+via `distributed.sharded_solve` (which `tests/test_multichip.py` pins equal
+to the single-device `solve`).
 
-  python tools/bench_scaling.py            # virtual CPU mesh (8 devices)
-  SCALING_BACKEND=tpu python tools/bench_scaling.py   # real chip(s)
+  python tools/bench_scaling.py                       # virtual CPU mesh
+  SCALING_BACKEND=tpu python tools/bench_scaling.py   # real chip anchor
 
-On the virtual CPU mesh the absolute numbers are meaningless but the
-*efficiency* (per-device throughput retention as devices multiply while
-total population is fixed per device) exercises the real collective
-pattern: per-shard rollouts + all_gather argmax.  On hardware the same
-script measures true ICI scaling; multi-host runs call
-sharding.initialize_distributed() first.
+Interpretation caveat recorded in the artifact: the virtual CPU mesh runs
+N logical devices over the host's physical cores (4 here), so wall-clock
+speedup saturates at the core count — the deliverables on CPU are
+(a) the sharded path executing the real config end-to-end at every mesh
+size and (b) `sharding_overhead` = t_sharded(1 dev) / t_unsharded, the
+pure cost of the shard_map + all_gather structure.  True ICI scaling
+needs real chips (the TPU run anchors 1-device; multi-host runs call
+sharding.initialize_distributed() first and use the same script).
 """
 
 import json
+import multiprocessing
 import os
 import sys
 import time
@@ -38,8 +45,6 @@ else:
                     '/tmp/dexterity_tpu_jax_cache')
   jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
 
-import jax.numpy as jnp
-
 
 def main():
   from dexterity_tpu import manipulation
@@ -49,56 +54,78 @@ def main():
 
   sharding.initialize_distributed()
   n_avail = len(jax.devices())
-  # Weak scaling: per-device population fixed -> ideal scaling is constant
-  # wall time per solve while total throughput grows linearly.
-  per_dev = int(os.environ.get('SCALING_SAMPLES_PER_DEV',
-                               '16' if backend == 'cpu' else '512'))
-  horizon = int(os.environ.get('SCALING_HORIZON',
-                               '2' if backend == 'cpu' else '10'))
+  # The validated closed-loop config (EVAL_CLOSED_LOOP_r03.json
+  # validated_default) — overridable for quick smoke runs only.
+  samples = int(os.environ.get('SCALING_SAMPLES', '256'))
+  horizon = int(os.environ.get('SCALING_HORIZON', '10'))
   n_solves = int(os.environ.get('SCALING_SOLVES', '3'))
+  config = ps.PredictiveSamplingConfig(
+      horizon=horizon, num_samples=samples, num_knots=4,
+      iterations=2, noise_decay=0.5, failure_penalty=30.0,
+      solver_iterations=4, ls_iterations=6, solver_refactor_every=2,
+      plan_substeps=3)
 
   task = manipulation.build_task('reorient', 'state_dense')
   env = manipulation._environment.GoalEnvironment(task)
   state, _ = jax.jit(env.reset)(jax.random.PRNGKey(0))
+  planner = ps.PredictiveSampling(task, config)
+
+  def time_solves(solve_fn):
+    pstate = planner.init_state()
+    action, pstate = solve_fn(state.data, state.task.goal, pstate,
+                              jax.random.PRNGKey(1))
+    jax.block_until_ready(action)
+    t0 = time.perf_counter()
+    for i in range(n_solves):
+      action, pstate = solve_fn(state.data, state.task.goal, pstate,
+                                jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(action)
+    return (time.perf_counter() - t0) / n_solves
+
+  # Unsharded single-device anchor (the exact validated solve).
+  wall_unsharded = time_solves(jax.jit(planner.solve))
+  print(f'unsharded 1-dev: {wall_unsharded*1e3:9.1f} ms/solve', flush=True)
 
   results = []
   n_dev = 1
   while n_dev <= n_avail:
-    planner = ps.PredictiveSampling(
-        task, ps.PredictiveSamplingConfig(horizon=horizon,
-                                          num_samples=per_dev * n_dev))
     mesh = sharding.make_mesh(n_dev)
-    pstate = planner.init_state()
     with mesh:
-      solve = jax.jit(lambda d, g, p, k, planner=planner, mesh=mesh:
-                      distributed.sharded_solve(planner, mesh, d, g, p, k))
-      action, pstate = solve(state.data, state.task.goal, pstate,
-                             jax.random.PRNGKey(1))
-      jax.block_until_ready(action)
-      t0 = time.perf_counter()
-      for i in range(n_solves):
-        action, pstate = solve(state.data, state.task.goal, pstate,
-                               jax.random.PRNGKey(2 + i))
-      jax.block_until_ready(action)
-      wall = (time.perf_counter() - t0) / n_solves
-    solves_per_s = 1.0 / wall
-    rollouts_per_s = (per_dev * n_dev + n_dev) / wall
-    results.append(dict(n_devices=n_dev, samples=per_dev * n_dev,
-                        horizon=horizon, s_per_solve=wall,
-                        rollout_throughput=rollouts_per_s,
-                        solves_per_s=solves_per_s))
-    print(f'n_dev={n_dev:2d} samples={per_dev*n_dev:5d} '
+      wall = time_solves(jax.jit(
+          lambda d, g, p, k, mesh=mesh:
+          distributed.sharded_solve(planner, mesh, d, g, p, k)))
+    results.append(dict(
+        n_devices=n_dev, samples=samples, horizon=horizon,
+        s_per_solve=wall, solves_per_s=1.0 / wall,
+        rollout_throughput=samples * config.iterations / wall,
+        speedup_vs_1dev=results[0]['s_per_solve'] / wall if results
+        else 1.0))
+    print(f'n_dev={n_dev:2d} samples={samples:5d} '
           f'{wall*1e3:9.1f} ms/solve  '
-          f'{rollouts_per_s:10.1f} rollouts/s', flush=True)
+          f'speedup {results[-1]["speedup_vs_1dev"]:.2f}x', flush=True)
     n_dev *= 2
 
-  base = results[0]['rollout_throughput']
   for r in results:
-    r['efficiency_vs_1dev'] = (r['rollout_throughput']
-                               / (base * r['n_devices']))
-  out = dict(backend=backend, per_device_samples=per_dev,
-             horizon=horizon, results=results)
-  path = os.environ.get('SCALING_OUT', 'SCALING_r02.json')
+    r['efficiency_vs_1dev'] = r['speedup_vs_1dev'] / r['n_devices']
+  out = dict(
+      backend=backend,
+      scaling_mode='strong (fixed 256-candidate population sharded)',
+      config=dict(samples=samples, horizon=horizon, iterations=2,
+                  noise_decay=0.5, num_knots=4, plan_substeps=3,
+                  solver_its=[4, 6], refactor_every=2,
+                  failure_penalty=30.0,
+                  note='validated closed-loop config, '
+                       'EVAL_CLOSED_LOOP_r03.json'),
+      unsharded_s_per_solve=wall_unsharded,
+      sharding_overhead_1dev=results[0]['s_per_solve'] / wall_unsharded,
+      physical_cores=multiprocessing.cpu_count(),
+      caveat=('CPU mesh devices are logical: wall-clock speedup saturates '
+              'at the physical core count; deliverables are end-to-end '
+              'execution of the validated config at every mesh size and '
+              'the 1-device sharding overhead.' if backend == 'cpu'
+              else 'single real chip; multi-chip needs a pod slice'),
+      results=results)
+  path = os.environ.get('SCALING_OUT', 'SCALING_r04.json')
   mode = 'a' if os.path.exists(path) and os.environ.get(
       'SCALING_APPEND') else 'w'
   with open(path, mode) as f:
