@@ -62,6 +62,7 @@ def spec_to_dict(spec: S.ModelSpec) -> Dict[str, Any]:
       'pairs': [_enc_dataclass(p) for p in spec.pairs],
       'excludes': [_enc_dataclass(x) for x in spec.excludes],
       'pruned_pairs': sorted([list(p) for p in spec.pruned_pairs]),
+      'meshes': {k: _enc_dataclass(m) for k, m in sorted(spec.meshes.items())},
   }
 
 
@@ -152,6 +153,12 @@ def spec_from_dict(d: Dict[str, Any]) -> S.ModelSpec:
   for x in d.get('excludes', []):
     spec.excludes.append(S.ExcludeSpec(body1=x['body1'], body2=x['body2']))
   spec.pruned_pairs = {tuple(p) for p in d.get('pruned_pairs', [])}
+  for k, m in d.get('meshes', {}).items():
+    spec.meshes[k] = S.MeshSpec(
+        name=m['name'], file=m['file'], scale=_dec_tuple(m['scale']),
+        emit_on_body=m.get('emit_on_body', False),
+        pos=_dec_tuple(m.get('pos', (0.0, 0.0, 0.0))),
+        quat=_dec_tuple(m.get('quat', (1.0, 0.0, 0.0, 0.0))))
   return spec
 
 

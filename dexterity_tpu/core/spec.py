@@ -86,6 +86,23 @@ class GeomSpec:
 
 
 @dataclasses.dataclass
+class MeshSpec:
+  """A render-only mesh asset (physics never loads mesh files; camera
+  observables and MJCF export use these to show the real vendor geometry
+  instead of the fitted collision primitives — see models/meshes.py)."""
+  name: str
+  file: str                    # path relative to models/assets (or absolute)
+  scale: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+  # True for vendor models whose single mesh serves as both collision and
+  # visual geometry (MPL): export re-emits it as an extra visual-only geom
+  # at (pos, quat) on every body whose fitted primitives carry this mesh
+  # as provenance.
+  emit_on_body: bool = False
+  pos: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+  quat: Tuple[float, float, float, float] = (1.0, 0.0, 0.0, 0.0)
+
+
+@dataclasses.dataclass
 class SiteSpec:
   name: str
   pos: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
@@ -238,6 +255,10 @@ class ModelSpec:
   # A drop-list (not a whitelist) so attach() composition keeps all
   # cross-entity pairs (e.g. hand vs prop).
   pruned_pairs: set = dataclasses.field(default_factory=set)
+  # Render-only mesh assets keyed by the (namespaced) mesh name geoms
+  # reference via GeomSpec.mesh (models/meshes.py populates these for the
+  # vendored hands; physics never reads them).
+  meshes: Dict[str, MeshSpec] = dataclasses.field(default_factory=dict)
 
   # ---------------------------------------------------------------------
   # Lookup / composition
@@ -326,6 +347,7 @@ class ModelSpec:
     self.pairs.extend(child.pairs)
     self.excludes.extend(child.excludes)
     self.pruned_pairs |= child.pruned_pairs
+    self.meshes.update(child.meshes)
     return self
 
   def add_mocap(self, name: str, pos=(0, 0, 0), quat=(1, 0, 0, 0),
@@ -750,7 +772,11 @@ def _fill_invweight0(model: types.Model) -> types.Model:
       ten_iw = jnp.zeros((0,))
     return dof_iw, body_iw, ten_iw
 
-  cpu = jax.devices('cpu')[0]
+  # Local CPU device: jax.devices('cpu')[0] is the GLOBAL first CPU device,
+  # which under multi-controller (jax.distributed) belongs to process 0 —
+  # committing model constants there makes them non-addressable everywhere
+  # else (found by tools/run_multihost_dryrun.py).
+  cpu = jax.local_devices(backend='cpu')[0]
   with jax.default_device(cpu):
     dof_iw, body_iw, ten_iw = jax.jit(compute)(model)
   return model.replace(dof_invweight0=dof_iw, body_invweight0=body_iw,

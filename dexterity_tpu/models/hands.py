@@ -67,6 +67,11 @@ class DexterousHand:
 
   def __init__(self, name: Optional[str] = None):
     self.spec = serialization.load_spec(os.path.join(_ASSETS, self.asset))
+    # Join geom mesh provenance with the packaged render meshes so camera
+    # observables show the vendor geometry, not the fitted primitives.
+    from dexterity_tpu.models import meshes as mesh_assets
+    mesh_assets.attach_mesh_assets(self.spec,
+                                   os.path.splitext(self.asset)[0])
     self.name = name or self.spec.name
     self.spec.name = self.name
     self._setup()

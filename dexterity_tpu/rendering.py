@@ -45,7 +45,7 @@ class HostRenderer:
 
     from dexterity_tpu.mjcf import export
 
-    xml = export.export_mjcf(spec, keep_visual=True)
+    xml = export.export_mjcf(spec, keep_visual=True, include_meshes=True)
     root = ET.fromstring(xml)
     wb = root.find('worldbody')
     existing = {c.get('name') for c in wb.findall('camera')}
@@ -91,11 +91,17 @@ class HostRenderer:
     if self._renderer is None:
       self._renderer = self._mujoco.Renderer(self._mm, self.height,
                                              self.width)
-      # The imported hand models carry fitted collision primitives in geom
-      # group 3 (visual meshes are dropped at import); MuJoCo viewers hide
-      # group 3 by default, so enable every group.
       self._scene_option = self._mujoco.MjvOption()
-      self._scene_option.geomgroup[:] = 1
+      if self._mm.nmesh > 0:
+        # Real vendor meshes are present (mjcf/export.py include_meshes):
+        # show visual groups 0-2, hide the fitted collision primitives
+        # (groups 3-5) the meshes replace.
+        self._scene_option.geomgroup[:3] = 1
+        self._scene_option.geomgroup[3:] = 0
+      else:
+        # No mesh assets: the fitted primitives ARE the visuals (they sit
+        # in groups viewers hide by default) — enable every group.
+        self._scene_option.geomgroup[:] = 1
     md = self._md
     for ours, theirs, w in self._qpos_map:
       md.qpos[theirs:theirs + w] = qpos[ours:ours + w]

@@ -34,6 +34,11 @@ def worker(pid: int) -> None:
   assert jax.process_count() == N_PROC
   assert len(jax.local_devices()) == DEV_PER_PROC
   assert len(jax.devices()) == N_PROC * DEV_PER_PROC
+  # In multi-controller mode the process-global default device is
+  # jax.devices()[0] — remote for every process but 0.  Pin local array
+  # creation / single-device dispatch to this process's first device
+  # (global SPMD computations below are explicitly sharded over the mesh).
+  jax.config.update('jax_default_device', jax.local_devices()[0])
 
   import numpy as np
   from jax.sharding import NamedSharding, PartitionSpec as P
@@ -59,18 +64,26 @@ def worker(pid: int) -> None:
   assert total_val == len(jax.devices()), total_val
   print(f'[worker {pid}] barrier OK (gloo context up)', flush=True)
 
-  task = manipulation.build_task('reach', 'state_dense')
-  env = manipulation._environment.GoalEnvironment(task)
-  planner = ps.PredictiveSampling(
-      task, ps.PredictiveSamplingConfig(horizon=2, num_samples=8,
-                                        num_knots=0, iterations=2))
+  # In multi-controller mode the process-global default device is
+  # jax.devices()[0] — remote for every process but 0; pin local model
+  # building and the local reset to this process's first device.
+  with jax.default_device(jax.local_devices()[0]):
+    task = manipulation.build_task('reach', 'state_dense')
+    env = manipulation._environment.GoalEnvironment(task)
+    planner = ps.PredictiveSampling(
+        task, ps.PredictiveSamplingConfig(horizon=2, num_samples=8,
+                                          num_knots=0, iterations=2))
+    # Regression guard for the core/spec.py invweight placement bug: model
+    # constants must live on THIS process's devices.
+    model = task.compile()
+    assert model.body_invweight0.sharding.device_set <= set(
+        jax.local_devices()), model.body_invweight0.sharding
+    # Every process computes the identical initial state locally (same
+    # key), then promotes it to replicated GLOBAL arrays for the solve.
+    state, _ = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    pstate = planner.init_state()
   mesh = sharding.make_mesh()                     # global 8-device mesh
   repl = NamedSharding(mesh, P())
-
-  # Every process computes the identical initial state locally (same key),
-  # then promotes it to replicated GLOBAL arrays for the SPMD solve.
-  state, _ = jax.jit(env.reset)(jax.random.PRNGKey(0))
-  pstate = planner.init_state()
 
   def to_global(x):
     host = np.asarray(x)
