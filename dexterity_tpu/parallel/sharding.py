@@ -49,15 +49,23 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
   already = getattr(jax._src.distributed.global_state, 'client', None)
   if already is not None:  # pragma: no cover - idempotence guard
     return True
-  on_tpu_pod = jax.default_backend() == 'tpu' and os.environ.get(
-      'TPU_WORKER_HOSTNAMES')
+  # Decide from the environment only: jax.distributed.initialize() must
+  # run before anything (even jax.default_backend()) initializes the XLA
+  # backend, so backend introspection here would break single-chip runs.
+  hostnames = os.environ.get('TPU_WORKER_HOSTNAMES', '')
+  on_tpu_pod = len([h for h in hostnames.split(',') if h.strip()]) > 1
   if coordinator is None and not on_tpu_pod:
     return False
   kwargs = {}
   if coordinator is not None:
     kwargs = dict(coordinator_address=coordinator,
                   num_processes=int(n_proc), process_id=int(pid))
-  jax.distributed.initialize(**kwargs)
+  try:
+    jax.distributed.initialize(**kwargs)
+  except RuntimeError as e:  # pragma: no cover - backend already up
+    import warnings
+    warnings.warn(f'jax.distributed.initialize skipped: {e}')
+    return False
   return True
 
 

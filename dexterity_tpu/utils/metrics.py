@@ -54,12 +54,12 @@ def update(metrics: EpisodeMetrics, reward: jax.Array, done: jax.Array,
   donef = done.astype(cur_return.dtype)
   donei = done.astype(jnp.int32)
   return EpisodeMetrics(
-      episodes=metrics.episodes + donei.sum(),
+      episodes=metrics.episodes + donei.sum(dtype=jnp.int32),
       env_steps=metrics.env_steps + reward.shape[0],
       return_sum=metrics.return_sum + (cur_return * donef).sum(),
-      length_sum=metrics.length_sum + (cur_length * donei).sum(),
+      length_sum=metrics.length_sum + (cur_length * donei).sum(dtype=jnp.int32),
       success_sum=metrics.success_sum
-      + (donei * (successes > 0).astype(jnp.int32)).sum(),
+      + (donei * (successes > 0).astype(jnp.int32)).sum(dtype=jnp.int32),
       cur_return=cur_return * (1.0 - donef),
       cur_length=cur_length * (1 - donei))
 

@@ -1,0 +1,121 @@
+"""Full manipulation benchmark suite, batched (BASELINE.json configs[4]).
+
+"Full manipulation benchmark suite batched: 4096 scenarios x all tasks":
+for every registered environment, run a BatchedEnvironment of SCENARIOS
+auto-resetting episodes under a random policy for STEPS control steps,
+with in-graph EpisodeMetrics accumulation, and record env steps/s,
+episodes/s, and substeps/s per task.
+
+  python scripts/bench_suite.py                      # real chip, B=4096
+  SUITE_B=64 SUITE_STEPS=20 python scripts/bench_suite.py   # smoke
+
+Optional virtual-mesh data parallelism: SUITE_SHARD=1 shards the batch
+axis over every available device (jax.sharding + the batch program is
+already one jitted SPMD step, so XLA splits it with zero code changes).
+Writes SUITE_BENCH_r{N}.json (SUITE_OUT).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+os.makedirs('/tmp/dexterity_tpu_jax_cache', exist_ok=True)
+jax.config.update('jax_compilation_cache_dir', '/tmp/dexterity_tpu_jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
+
+
+def bench_task(name: str, batch: int, steps: int, seed: int, shard: bool):
+  from dexterity_tpu import manipulation
+  from dexterity_tpu.envs import batched
+  from dexterity_tpu.parallel import sharding
+  from dexterity_tpu.utils import metrics as metrics_lib
+
+  domain, task_name = name.split('.')
+  task = manipulation.build_task(domain, task_name)
+  env = manipulation._environment.GoalEnvironment(task)
+  benv = batched.BatchedEnvironment(env, batch)
+  spec = env.action_spec()
+  lo = jnp.where(jnp.isfinite(spec.minimum), spec.minimum, -1.0)
+  hi = jnp.where(jnp.isfinite(spec.maximum), spec.maximum, 1.0)
+
+  @jax.jit
+  def run(key, state, metrics):
+    def body(carry, _):
+      key, state, metrics = carry
+      key, sub = jax.random.split(key)
+      actions = lo + (hi - lo) * jax.random.uniform(
+          sub, (batch, spec.shape[0]))
+      state, ts, metrics = benv.step_with_metrics(state, actions, metrics)
+      return (key, state, metrics), ()
+    (key, state, metrics), _ = jax.lax.scan(
+        body, (key, state, metrics), (), length=steps)
+    return key, state, metrics
+
+  key = jax.random.PRNGKey(seed)
+  state, _ = benv.reset(key)
+  # Reward dtype follows the enabled precision (f64 in the test suite).
+  metrics = metrics_lib.init(batch, dtype=jnp.zeros(0).dtype)
+  if shard:
+    mesh = sharding.make_mesh()
+    state = sharding.shard_batch(mesh, state)
+    metrics = metrics.replace(
+        cur_return=sharding.shard_batch(mesh, metrics.cur_return),
+        cur_length=sharding.shard_batch(mesh, metrics.cur_length))
+  # Warm-up (compile) one scan, then measure a fresh run.
+  k2, s2, m2 = run(key, state, metrics)
+  jax.block_until_ready(m2.env_steps)
+  t0 = time.perf_counter()
+  k2, s2, m2 = run(k2, s2, m2)
+  jax.block_until_ready(m2.env_steps)
+  wall = time.perf_counter() - t0
+  summ = metrics_lib.summary(m2)
+  n_sub = task.n_substeps
+  return {
+      'task': name, 'batch': batch, 'steps': steps,
+      'env_steps_per_s': batch * steps / wall,
+      'env_substeps_per_s': batch * steps * n_sub / wall,
+      'episodes_per_s': summ['episodes'] / 2 / wall if summ['episodes']
+      else 0.0,
+      'wall_s': wall,
+      'metrics': summ,
+  }
+
+
+def main():
+  from dexterity_tpu import manipulation
+
+  batch = int(os.environ.get('SUITE_B', '4096'))
+  steps = int(os.environ.get('SUITE_STEPS', '100'))
+  seed = int(os.environ.get('SUITE_SEED', '0'))
+  shard = os.environ.get('SUITE_SHARD', '0') == '1'
+  only = os.environ.get('SUITE_TASKS')
+  names = only.split(',') if only else list(manipulation.ALL_NAMES)
+  results = []
+  for name in names:
+    r = bench_task(name, batch, steps, seed, shard)
+    results.append(r)
+    print(f"{name}: {r['env_steps_per_s']:,.0f} env steps/s "
+          f"({r['env_substeps_per_s']:,.0f} substeps/s), "
+          f"{r['metrics']['episodes']} episodes", flush=True)
+  out = {
+      'backend': jax.default_backend(),
+      'n_devices': len(jax.devices()) if shard else 1,
+      'batch': batch, 'steps_timed': steps,
+      'policy': 'uniform random',
+      'results': results,
+  }
+  path = os.environ.get('SUITE_OUT', 'SUITE_BENCH_r04.json')
+  with open(path, 'w') as f:
+    json.dump(out, f, indent=1)
+    f.write('\n')
+  print('wrote', path)
+
+
+if __name__ == '__main__':
+  main()
