@@ -195,16 +195,21 @@ class ILQR:
       fx, fu, cx, cu = jax.vmap(linearize)(xs, us)
 
       # Backward pass (Gauss-Newton: cost Hessians approximated by
-      # identity-regularized terms; gradients exact).
+      # identity-regularized terms; gradients exact).  Regularization is
+      # applied Tassa-style through the value function (vxx + reg*I inside
+      # the Q terms that build the gains): with stiff contact jacobians
+      # (|fx| ~ 1e3) a plain quu shift is dominated by fu'vxx fu and the
+      # gains explode.
       def backward(carry, inp):
         vx, vxx = carry
         fx_t, fu_t, cx_t, cu_t = inp
+        vxx_reg = vxx + reg * jnp.eye(nx, dtype=self.dtype)
         qx = cx_t + fx_t.T @ vx
         qu = cu_t + fu_t.T @ vx
         qxx = fx_t.T @ vxx @ fx_t + reg * jnp.eye(nx, dtype=self.dtype)
-        quu = fu_t.T @ vxx @ fu_t + (2 * cfg.ctrl_cost + reg) * jnp.eye(
+        quu = fu_t.T @ vxx_reg @ fu_t + (2 * cfg.ctrl_cost + reg) * jnp.eye(
             nu, dtype=self.dtype)
-        qux = fu_t.T @ vxx @ fx_t
+        qux = fu_t.T @ vxx_reg @ fx_t
         chol = jax.scipy.linalg.cho_factor(quu)
         k = -jax.scipy.linalg.cho_solve(chol, qu)
         kk = -jax.scipy.linalg.cho_solve(chol, qux)
@@ -218,16 +223,22 @@ class ILQR:
       _, (ks, kks) = jax.lax.scan(backward, init, (fx, fu, cx, cu),
                                   reverse=True)
 
-      # Forward line search over parallel step sizes.  alpha = 0 replays
-      # the nominal exactly (x starts on-trajectory, so the feedback term
-      # vanishes), giving the nominal cost for free AND guaranteeing the
-      # argmin never regresses.
+      # Forward line search over parallel step sizes.  alpha = 0 disables
+      # the feedback term too: it replays the nominal bit-exactly, giving
+      # the nominal cost for free AND a candidate the argmin can always
+      # fall back to (with feedback on, float drift times 1e3-scale
+      # contact gains can diverge even at alpha = 0).
       def forward(alpha):
         def body(carry, inp):
           x = carry
           u_nom, x_nom, k_t, kk_t = inp
-          u = jnp.clip(u_nom + alpha * k_t + kk_t @ (x - x_nom),
-                       self._lo, self._hi)
+          # Selection (not multiplication) so alpha = 0 replays the
+          # nominal even when a diverged backward pass left NaN gains
+          # (0 * NaN would poison the fallback candidate).
+          upd = jnp.where(alpha > 0,
+                          alpha * k_t + kk_t @ (x - x_nom),
+                          jnp.zeros_like(u_nom))
+          u = jnp.clip(u_nom + upd, self._lo, self._hi)
           xn = self._f(template, x, u)
           c = self._cost(template, goal, x, u)
           return xn, (u, c)
@@ -238,14 +249,22 @@ class ILQR:
           jnp.zeros(1, self.dtype),
           2.0 ** -jnp.arange(cfg.line_search_steps - 1, dtype=self.dtype)])
       us_cands, costs = jax.vmap(forward)(alphas)
-      best = jnp.argmin(costs)
-      cost0 = costs[0]                              # nominal (alpha = 0)
-      improved = costs[best] < cost0 - 1e-9 * jnp.abs(cost0)
+      # NaN-safe selection: a diverged candidate never wins; if every
+      # candidate diverged (nominal included), keep the incoming plan.
+      costs_safe = jnp.where(jnp.isnan(costs), jnp.inf, costs)
+      best = jnp.argmin(costs_safe)
+      ok = jnp.isfinite(costs_safe[best])
+      us_out = jnp.where(ok, us_cands[best], us)
+      cost_out = jnp.where(ok, costs_safe[best],
+                           jnp.where(jnp.isfinite(cost_prev), cost_prev,
+                                     costs_safe[0]))
+      cost0 = costs_safe[0]                         # nominal (alpha = 0)
+      improved = ok & (costs_safe[best] < cost0 - 1e-9 * jnp.abs(cost0))
       # Levenberg adaptation: success -> trust the quadratic model more.
       reg_new = jnp.where(improved,
                           jnp.maximum(reg * 0.5, cfg.reg_min),
                           jnp.minimum(reg * 4.0, cfg.reg_max))
-      return (us_cands[best], costs[best], reg_new), costs[best]
+      return (us_out, cost_out, reg_new), cost_out
 
     init_carry = (state.us, jnp.asarray(jnp.inf, self.dtype),
                   jnp.asarray(cfg.reg_init, self.dtype))

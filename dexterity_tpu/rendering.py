@@ -30,17 +30,18 @@ os.environ.setdefault('MUJOCO_GL', 'egl')
 _fmt = None  # set lazily from mjcf.export
 
 
-class HostRenderer:
-  """Renders camera images for states of a compiled task model."""
+class StateBridge:
+  """Maps framework physics state onto a host MuJoCo model of the task.
 
-  def __init__(self, spec, model, camera_configs: Sequence,
-               height: int = 84, width: int = 84):
-    """Args:
-      spec: the task's ModelSpec (arena.spec).
-      model: the compiled Model (for joint name/address tables).
-      camera_configs: CameraConfig sequence (shared/cameras.py presets).
-      height/width: image size (CameraObservableSpec.height/width).
-    """
+  Builds a MuJoCo model from the exported MJCF (real vendor meshes
+  included when packaged) and copies (qpos, mocap) across by joint name —
+  robust to ordering differences, valid for any composed arena.  Shared
+  by the offscreen camera renderer and the interactive viewer
+  (manipulation/explore.py --interactive; reference launches
+  dm_control.viewer, explore.py:58-62).
+  """
+
+  def __init__(self, spec, model, camera_configs: Sequence = ()):
     import mujoco  # deferred: optional dependency
 
     from dexterity_tpu.mjcf import export
@@ -60,10 +61,64 @@ class HostRenderer:
     if wb.find('light') is None:
       ET.SubElement(wb, 'light', pos='0 0 2', dir='0 0 -1',
                     diffuse='0.8 0.8 0.8')
-    self._mm = mujoco.MjModel.from_xml_string(
+    self.mm = mujoco.MjModel.from_xml_string(
         ET.tostring(root, encoding='unicode'))
-    self._md = mujoco.MjData(self._mm)
+    self.md = mujoco.MjData(self.mm)
     self._mujoco = mujoco
+    # State mapping by joint name (robust to any ordering differences).
+    self._qpos_map = []  # (ours_adr, theirs_adr, width)
+    for ji, name in enumerate(model.jnt_names):
+      tj = mujoco.mj_name2id(self.mm, mujoco.mjtObj.mjOBJ_JOINT, name)
+      if tj < 0:
+        raise ValueError(f'joint {name!r} missing from exported model')
+      w = {0: 7, 1: 4, 2: 1, 3: 1}[int(self.mm.jnt_type[tj])]
+      self._qpos_map.append((int(model.jnt_qposadr[ji]),
+                             int(self.mm.jnt_qposadr[tj]), w))
+    self._nmocap = int(self.mm.nmocap)
+
+  def scene_option(self):
+    """MjvOption showing the right geom groups for this model."""
+    opt = self._mujoco.MjvOption()
+    if self.mm.nmesh > 0:
+      # Real vendor meshes are present (mjcf/export.py include_meshes):
+      # show visual groups 0-2, hide the fitted collision primitives
+      # (groups 3-5) the meshes replace.
+      opt.geomgroup[:3] = 1
+      opt.geomgroup[3:] = 0
+    else:
+      # No mesh assets: the fitted primitives ARE the visuals (they sit
+      # in groups viewers hide by default) — enable every group.
+      opt.geomgroup[:] = 1
+    return opt
+
+  def copy_state(self, qpos: np.ndarray, mocap_pos: np.ndarray,
+                 mocap_quat: np.ndarray) -> None:
+    """Copies (nq,), (nmocap, 3), (nmocap, 4) into the MuJoCo data and
+    refreshes derived quantities."""
+    md = self.md
+    for ours, theirs, w in self._qpos_map:
+      md.qpos[theirs:theirs + w] = qpos[ours:ours + w]
+    if self._nmocap:
+      md.mocap_pos[:] = np.asarray(mocap_pos)[:self._nmocap]
+      md.mocap_quat[:] = np.asarray(mocap_quat)[:self._nmocap]
+    self._mujoco.mj_forward(self.mm, md)
+
+
+class HostRenderer:
+  """Renders camera images for states of a compiled task model."""
+
+  def __init__(self, spec, model, camera_configs: Sequence,
+               height: int = 84, width: int = 84):
+    """Args:
+      spec: the task's ModelSpec (arena.spec).
+      model: the compiled Model (for joint name/address tables).
+      camera_configs: CameraConfig sequence (shared/cameras.py presets).
+      height/width: image size (CameraObservableSpec.height/width).
+    """
+    self._bridge = StateBridge(spec, model, camera_configs)
+    self._mm = self._bridge.mm
+    self._md = self._bridge.md
+    self._mujoco = self._bridge._mujoco
     # The GL context is thread-affine (EGL) and XLA may invoke callbacks
     # from different threads per call: pin all GL work (context creation
     # included) to one dedicated worker thread.
@@ -74,44 +129,17 @@ class HostRenderer:
     self._cameras = [cfg.name for cfg in camera_configs]
     self.height, self.width = height, width
 
-    # State mapping by joint name (robust to any ordering differences).
-    self._qpos_map = []  # (ours_adr, theirs_adr, width)
-    for ji, name in enumerate(model.jnt_names):
-      tj = mujoco.mj_name2id(self._mm, mujoco.mjtObj.mjOBJ_JOINT, name)
-      if tj < 0:
-        raise ValueError(f'joint {name!r} missing from exported model')
-      w = {0: 7, 1: 4, 2: 1, 3: 1}[int(self._mm.jnt_type[tj])]
-      self._qpos_map.append((int(model.jnt_qposadr[ji]),
-                             int(self._mm.jnt_qposadr[tj]), w))
-    self._nmocap = int(self._mm.nmocap)
-
   def render_state(self, qpos: np.ndarray, mocap_pos: np.ndarray,
                    mocap_quat: np.ndarray) -> np.ndarray:
     """(nq,), (nmocap, 3), (nmocap, 4) -> (ncam, h, w, 3) uint8."""
     if self._renderer is None:
       self._renderer = self._mujoco.Renderer(self._mm, self.height,
                                              self.width)
-      self._scene_option = self._mujoco.MjvOption()
-      if self._mm.nmesh > 0:
-        # Real vendor meshes are present (mjcf/export.py include_meshes):
-        # show visual groups 0-2, hide the fitted collision primitives
-        # (groups 3-5) the meshes replace.
-        self._scene_option.geomgroup[:3] = 1
-        self._scene_option.geomgroup[3:] = 0
-      else:
-        # No mesh assets: the fitted primitives ARE the visuals (they sit
-        # in groups viewers hide by default) — enable every group.
-        self._scene_option.geomgroup[:] = 1
-    md = self._md
-    for ours, theirs, w in self._qpos_map:
-      md.qpos[theirs:theirs + w] = qpos[ours:ours + w]
-    if self._nmocap:
-      md.mocap_pos[:] = np.asarray(mocap_pos)[:self._nmocap]
-      md.mocap_quat[:] = np.asarray(mocap_quat)[:self._nmocap]
-    self._mujoco.mj_forward(self._mm, md)
+      self._scene_option = self._bridge.scene_option()
+    self._bridge.copy_state(qpos, mocap_pos, mocap_quat)
     out = []
     for cam in self._cameras:
-      self._renderer.update_scene(md, camera=cam,
+      self._renderer.update_scene(self._md, camera=cam,
                                   scene_option=self._scene_option)
       out.append(self._renderer.render().copy())
     return np.stack(out)

@@ -49,6 +49,32 @@ def test_mpl_dual_use_meshes_reemitted_as_visuals():
   assert int(np.sum(prim_with_provenance)) > 0
 
 
+def test_state_bridge_copies_qpos_by_joint_name():
+  """The viewer/renderer state bridge maps (qpos, mocap) onto the host
+  MuJoCo model by joint name — the --interactive state-copy path."""
+  mujoco = pytest.importorskip('mujoco')
+  from dexterity_tpu.rendering import StateBridge
+
+  task = manipulation.build_task('reorient', 'state_dense')
+  env = manipulation._environment.GoalEnvironment(task)
+  model = task.compile()
+  state, _ = jax.jit(env.reset)(jax.random.PRNGKey(3))
+  bridge = StateBridge(task.arena.spec, model)
+  bridge.copy_state(np.asarray(state.data.qpos),
+                    np.asarray(state.data.mocap_pos),
+                    np.asarray(state.data.mocap_quat))
+  qpos = np.asarray(state.data.qpos)
+  for ji, name in enumerate(model.jnt_names):
+    tj = mujoco.mj_name2id(bridge.mm, mujoco.mjtObj.mjOBJ_JOINT, name)
+    w = {0: 7, 1: 4, 2: 1, 3: 1}[int(bridge.mm.jnt_type[tj])]
+    ours = int(model.jnt_qposadr[ji])
+    theirs = int(bridge.mm.jnt_qposadr[tj])
+    np.testing.assert_allclose(bridge.md.qpos[theirs:theirs + w],
+                               qpos[ours:ours + w], atol=0)
+  # mj_forward ran: body frames are populated.
+  assert np.any(bridge.md.xpos != 0)
+
+
 def test_vision_pixels_rendered_from_meshes():
   """The VISION preset's HostRenderer model contains the vendor meshes and
   produces non-trivial pixels."""
