@@ -53,10 +53,11 @@ def main():
   task = manipulation.build_task('reorient', 'state_dense')
   env = manipulation._environment.GoalEnvironment(task)
   planner = ps.PredictiveSampling(
-      task, ps.PredictiveSamplingConfig(horizon=horizon,
-                                        num_samples=num_samples,
-                                        iterations=iterations,
-                                        plan_substeps=plan_substeps))
+      task, ps.PredictiveSamplingConfig(
+          horizon=horizon, num_samples=num_samples, iterations=iterations,
+          plan_substeps=plan_substeps,
+          solver_refactor_every=int(os.environ.get('BENCH_REFAC', '2')),
+          rollout_unroll=int(os.environ.get('BENCH_UNROLL', '1'))))
 
   keys = jax.random.split(jax.random.PRNGKey(0), streams)
   states, _ = jax.jit(jax.vmap(env.reset))(keys)

@@ -107,6 +107,10 @@ class PredictiveSamplingConfig:
   # ~25% lane utilization of vmap's batch-major layout.  Numerics are
   # pinned equal to the vmapped per-env rollout (tests/test_planners.py).
   batched_rollouts: bool = True
+  # Unroll factor for the control-step scan inside rollouts (the substep
+  # scan under it already unrolls, step.py): >1 lets XLA fuse across
+  # control-step boundaries at the cost of graph size / compile time.
+  rollout_unroll: int = 1
 
 
 from dexterity_tpu.utils.structs import pytree_dataclass
@@ -269,7 +273,8 @@ class PredictiveSampling:
 
     alive0 = (jnp.ones(bdata.qpos.shape[:1], bool)
               & (bdata.qpos[:, 0] == bdata.qpos[:, 0]))
-    (_, _), rewards = jax.lax.scan(control_step, (bdata, alive0), acts_t)
+    (_, _), rewards = jax.lax.scan(control_step, (bdata, alive0), acts_t,
+                                   unroll=self.config.rollout_unroll)
     return jnp.sum(rewards, axis=0)
 
   def _sample_noise(self, key, n):
