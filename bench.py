@@ -52,12 +52,24 @@ def main():
 
   task = manipulation.build_task('reorient', 'state_dense')
   env = manipulation._environment.GoalEnvironment(task)
+  # Modified-Newton stale-factor stretch: at small rollout batches
+  # (1-2 streams) dropping the second refactorization per substep is a
+  # measured +19% (51.6 vs 43.5 solves/s single-stream) and closed-loop
+  # validated at 32/32 (EVAL_CLOSED_LOOP_r04.json refac4 run); at >=4
+  # streams (B=1024 rollouts) the factor work amortizes onto the MXU and
+  # the extra stale resolves only lengthen the critical path (60.2 vs
+  # 67.7), so the throughput shape keeps refactor_every=2.
+  default_refac = '2' if streams >= 4 else '4'
   planner = ps.PredictiveSampling(
       task, ps.PredictiveSamplingConfig(
           horizon=horizon, num_samples=num_samples, iterations=iterations,
           plan_substeps=plan_substeps,
-          solver_refactor_every=int(os.environ.get('BENCH_REFAC', '2')),
-          rollout_unroll=int(os.environ.get('BENCH_UNROLL', '1'))))
+          solver_refactor_every=int(os.environ.get('BENCH_REFAC',
+                                                   default_refac)),
+          rollout_unroll=int(os.environ.get('BENCH_UNROLL', '1')),
+          ls_iterations=int(os.environ.get('BENCH_LS', '6')),
+          plan_midphase_cap=int(os.environ.get('BENCH_MIDPHASE', '24')),
+          plan_contact_top_k=int(os.environ.get('BENCH_TOPK', '24'))))
 
   keys = jax.random.split(jax.random.PRNGKey(0), streams)
   states, _ = jax.jit(jax.vmap(env.reset))(keys)
