@@ -68,8 +68,8 @@ def main():
                                                    default_refac)),
           rollout_unroll=int(os.environ.get('BENCH_UNROLL', '1')),
           ls_iterations=int(os.environ.get('BENCH_LS', '6')),
-          plan_midphase_cap=int(os.environ.get('BENCH_MIDPHASE', '24')),
-          plan_contact_top_k=int(os.environ.get('BENCH_TOPK', '24'))))
+          plan_midphase_cap=int(os.environ.get('BENCH_MIDPHASE', '16')),
+          plan_contact_top_k=int(os.environ.get('BENCH_TOPK', '16'))))
 
   keys = jax.random.split(jax.random.PRNGKey(0), streams)
   states, _ = jax.jit(jax.vmap(env.reset))(keys)

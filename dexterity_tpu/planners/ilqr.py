@@ -52,8 +52,8 @@ class ILQRConfig:
   solver_iterations: int = 4
   ls_iterations: int = 6
   plan_substeps: Optional[int] = None
-  plan_midphase_cap: Optional[int] = 24
-  plan_contact_top_k: Optional[int] = 24
+  plan_midphase_cap: Optional[int] = 16
+  plan_contact_top_k: Optional[int] = 16
   plan_implicit_damping: bool = True
   plan_self_collision: bool = False
 

@@ -77,8 +77,8 @@ class PredictiveSamplingConfig:
   # plenty for planning-grade rollouts and cuts the narrow-phase one-hot
   # selection and contact-row assembly costs roughly in half.  None keeps
   # the env model's values (conformance fidelity).
-  plan_midphase_cap: Optional[int] = 24
-  plan_contact_top_k: Optional[int] = 24
+  plan_midphase_cap: Optional[int] = 16
+  plan_contact_top_k: Optional[int] = 16
   # Fold implicit joint damping into the Newton solve (M' = M + h*D), so
   # the Euler integrator's separate linear solve disappears — 1 of the 5
   # Cholesky factorizations per substep (see Option.implicit_damping).
@@ -242,6 +242,16 @@ class PredictiveSampling:
     n_sub = self.n_plan_substeps
     acts_t = jnp.swapaxes(actions, 0, 1)                 # (H, M, nu)
     act_ids = jnp.asarray(self._act_ids)
+    # Position-level planning rewards never read the dynamics-output
+    # fields; carrying only the true integrator state through BOTH scan
+    # levels (control steps here, substeps inside step_n_b) removes the
+    # per-control-step carry copies of every pass-through Data field —
+    # the copy bucket alone was ~30% of single-stream device time
+    # (trace_solve, round 4).  The trajectory is identical by
+    # construction: each control step rebuilds the full Data from the
+    # loop-invariant pre-rollout `bdata` plus the carried state.
+    minimal = self.task.plan_refresh in ('none', 'position')
+    carry_fields = physics_step._STEP_CARRY_MIN if minimal else None
 
     def per_env_reward(d, g):
       dist = gen.goal_distance(g, gen.current_state(model, d))
@@ -251,7 +261,8 @@ class PredictiveSampling:
       return r, self.task.rollout_failure(model, d)
 
     def control_step(carry, action):
-      d, alive = carry
+      c, alive = carry
+      d = c if carry_fields is None else bdata.replace(**c)
       ctrl = d.ctrl.at[:, act_ids].set(
           jnp.clip(action, self._lo, self._hi))
       d = d.replace(ctrl=ctrl)
@@ -259,21 +270,20 @@ class PredictiveSampling:
           model, d, n_sub, refresh=self.task.plan_refresh,
           midphase=('per_call' if self.config.plan_midphase_per_control_step
                     else 'per_substep'),
-          # Position-level planning rewards never read the dynamics-output
-          # fields; dropping them from the scan carry removes their
-          # per-control-step carry copies (identical trajectory: the
-          # substep recomputes everything from qpos/qvel/ctrl + qacc).
-          carry=('minimal' if self.task.plan_refresh in ('none', 'position')
-                 else 'full'))
+          carry=('minimal' if minimal else 'full'))
       r, fail = jax.vmap(per_env_reward)(d, goals)
       alive_after = alive & ~fail
       r = jnp.where(alive_after, r,
                     jnp.where(alive, -self.config.failure_penalty, 0.0))
-      return (d, alive_after), r
+      out = (d if carry_fields is None
+             else {f: getattr(d, f) for f in carry_fields})
+      return (out, alive_after), r
 
     alive0 = (jnp.ones(bdata.qpos.shape[:1], bool)
               & (bdata.qpos[:, 0] == bdata.qpos[:, 0]))
-    (_, _), rewards = jax.lax.scan(control_step, (bdata, alive0), acts_t,
+    carry0 = (bdata if carry_fields is None
+              else {f: getattr(bdata, f) for f in carry_fields})
+    (_, _), rewards = jax.lax.scan(control_step, (carry0, alive0), acts_t,
                                    unroll=self.config.rollout_unroll)
     return jnp.sum(rewards, axis=0)
 

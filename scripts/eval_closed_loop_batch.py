@@ -85,8 +85,8 @@ def main():
           solver_iterations=int(os.environ.get('PLAN_SOLVER_ITS', '4')),
           ls_iterations=int(os.environ.get('PLAN_LS_ITS', '6')),
           solver_refactor_every=int(os.environ.get('PLAN_REFAC', '2')),
-          plan_midphase_cap=int(os.environ.get('PLAN_MIDPHASE', '24')),
-          plan_contact_top_k=int(os.environ.get('PLAN_TOPK', '24'))),
+          plan_midphase_cap=int(os.environ.get('PLAN_MIDPHASE', '16')),
+          plan_contact_top_k=int(os.environ.get('PLAN_TOPK', '16'))),
       extra_reward_fn=keep_in_hand if shaping_on else None)
 
   # One jitted control step, host loop over steps.  A single on-device

@@ -40,7 +40,10 @@ def main():
   planner = ps.PredictiveSampling(
       task, ps.PredictiveSamplingConfig(
           horizon=horizon, num_samples=samples, iterations=iters,
-          plan_substeps=3))
+          plan_substeps=3,
+          solver_refactor_every=int(os.environ.get('REFAC', '2')),
+          plan_midphase_cap=int(os.environ.get('MIDPHASE', '16')),
+          plan_contact_top_k=int(os.environ.get('TOPK', '16'))))
 
   keys = jax.random.split(jax.random.PRNGKey(0), g)
   states, _ = jax.jit(jax.vmap(env.reset))(keys)
