@@ -6,18 +6,19 @@ of contact physics (BASELINE.md: >= 1000 solves/s on v5e-16 =
 62.5 solves/s/chip at linear scaling — vs_baseline is measured against the
 per-chip share).  The planner runs its VALIDATED closed-loop configuration
 (2 CEM iterations x 256 samples = 512 rollouts/solve, Newton 4/6,
-8.3 ms planning timestep, prop-contact planning model) — the same config
-that solves 96/100 consecutive reorient goals in EVAL_CLOSED_LOOP_r03.json,
-so every benchmarked solve is one that actually solves the task.
+8.3 ms planning timestep, prop-contact planning model, contact budget 16)
+— the configuration closed-loop validated at 95%+ consecutive reorient
+goals in EVAL_CLOSED_LOOP_r0{3,4}.json, so every benchmarked solve is one
+that actually solves the task.
 
 The chip serves BENCH_STREAMS (default 4) concurrent MPC control loops —
 the production serving shape (one chip controls a farm of hands; the
 batched closed-loop evaluator runs the same lockstep-streams
-configuration and solves its goals at the same rate as single-stream,
-see EVAL_CLOSED_LOOP_r03.json).  Each stream's solve is the full
-validated 512-rollout config; throughput = streams x rounds / wall.
-Set BENCH_STREAMS=1 for the single-stream latency variant (reported in
-README alongside this headline).
+configuration and solves its goals at the same rate as single-stream).
+Each stream's solve is the full validated 512-rollout config; throughput
+= streams x rounds / wall.  Set BENCH_STREAMS=1 for the single-stream
+latency variant (reported in README alongside this headline); small-batch
+shapes default to the validated stale-factor stretch (refactor_every=4).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -43,12 +44,18 @@ def main():
   from dexterity_tpu import manipulation
   from dexterity_tpu.planners import predictive_sampling as ps
 
-  num_samples = int(os.environ.get('BENCH_SAMPLES', '256'))
+  streams_env = int(os.environ.get('BENCH_STREAMS', '4'))
+  # Two closed-loop-validated shapes (EVAL_CLOSED_LOOP_r04.json): the
+  # throughput config (256 samples x 2 CEM iters, 61/64 across seeds) and
+  # the single-stream latency config (192 x 2, 62/64 across seeds — the
+  # smaller validated population is the latency-shape lever).
+  num_samples = int(os.environ.get(
+      'BENCH_SAMPLES', '192' if streams_env == 1 else '256'))
   iterations = int(os.environ.get('BENCH_ITERS', '2'))
   horizon = int(os.environ.get('BENCH_HORIZON', '10'))
   n_rounds = int(os.environ.get('BENCH_SOLVES', '20'))
   plan_substeps = int(os.environ.get('BENCH_PLAN_SUBSTEPS', '3'))
-  streams = int(os.environ.get('BENCH_STREAMS', '4'))
+  streams = streams_env
 
   task = manipulation.build_task('reorient', 'state_dense')
   env = manipulation._environment.GoalEnvironment(task)
