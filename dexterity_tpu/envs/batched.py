@@ -27,6 +27,25 @@ class BatchedEnvironment:
     keys = jax.random.split(key, self.batch_size)
     return self._reset(keys)
 
+  def _merge_resets(self, new_state, done):
+    """Resets done episodes in place.  The reset (goal rejection
+    sampling, settle substeps) costs several env steps' worth of physics,
+    so it runs under a SCALAR lax.cond on "any episode ended" — on the
+    overwhelming majority of steps (no episode boundary anywhere in the
+    batch) the whole reset computation is skipped at runtime, not just
+    masked."""
+    def with_reset(ns):
+      reset_state, _ = self._reset(ns.key)
+
+      def select(a, b):
+        shape = (-1,) + (1,) * (a.ndim - 1)
+        return jnp.where(done.reshape(shape), a, b)
+
+      return jax.tree_util.tree_map(select, reset_state, ns)
+
+    return jax.lax.cond(jnp.any(done), with_reset, lambda ns: ns,
+                        new_state)
+
   def step(self, state, actions):
     """Steps all envs; episodes that ended are reset in place.
 
@@ -35,15 +54,7 @@ class BatchedEnvironment:
     """
     new_state, ts = self._step(state, actions)
     done = ts.step_type == env_lib.StepType.LAST
-
-    reset_state, _ = self._reset(new_state.key)
-
-    def select(a, b):
-      shape = (-1,) + (1,) * (a.ndim - 1)
-      return jnp.where(done.reshape(shape), a, b)
-
-    merged = jax.tree_util.tree_map(select, reset_state, new_state)
-    return merged, ts
+    return self._merge_resets(new_state, done), ts
 
   def step_with_metrics(self, state, actions, metrics):
     """Like step(), additionally accumulating in-graph episode metrics
@@ -53,12 +64,4 @@ class BatchedEnvironment:
     done = ts.step_type == env_lib.StepType.LAST
     metrics = metrics_lib.update(
         metrics, ts.reward, done, new_state.task.successes)
-
-    reset_state, _ = self._reset(new_state.key)
-
-    def select(a, b):
-      shape = (-1,) + (1,) * (a.ndim - 1)
-      return jnp.where(done.reshape(shape), a, b)
-
-    merged = jax.tree_util.tree_map(select, reset_state, new_state)
-    return merged, ts, metrics
+    return self._merge_resets(new_state, done), ts, metrics, metrics

@@ -29,17 +29,28 @@ from dexterity_tpu.planners.predictive_sampling import (PlannerState,
                                                         PredictiveSampling)
 
 try:
-  shard_map = jax.shard_map  # jax >= 0.5
+  _shard_map = jax.shard_map  # jax >= 0.5
 except AttributeError:  # pragma: no cover
-  from jax.experimental.shard_map import shard_map
+  from jax.experimental.shard_map import shard_map as _shard_map
 
 
-def _vary(x, axis=BATCH_AXIS):
-  """Promote a replicated value to shard-varying (scan-carry typechecking
-  inside shard_map — values mix with per-shard candidates in rollouts)."""
-  if hasattr(jax.lax, 'pcast'):
-    return jax.lax.pcast(x, axis, to='varying')
-  return jax.lax.pvary(x, axis)
+def shard_map(body, **kwargs):
+  """jax.shard_map with varying-mesh-axis checking off: the Pallas
+  Cholesky kernels in the rollout physics don't annotate `vma` on their
+  out_shapes, which the checker (jax >= 0.9) rejects inside shard_map on
+  TPU.  Correctness is pinned by the sharded == unsharded parity tests."""
+  try:
+    return _shard_map(body, check_vma=False, **kwargs)
+  except TypeError:  # pragma: no cover - older jax
+    return _shard_map(body, **kwargs)
+
+
+# NOTE: no pvary/pcast promotion anywhere in the bodies.  With
+# check_vma=False it is unnecessary for scan-carry typechecking, and it is
+# catastrophically expensive: promoting the replicated Data pytree with
+# jax.lax.pcast(..., to='varying') measured 22 s/solve vs 67 ms without it
+# on the real chip (round 4) — the per-leaf promotions block layout/fusion
+# propagation through the whole rollout program.
 
 
 def _shard_iteration(planner: PredictiveSampling, n_dev: int, idx, data,
@@ -96,9 +107,7 @@ def sharded_solve(planner: PredictiveSampling, mesh, data, goal,
 
   def body(data, goal, nominal, key):
     idx = jax.lax.axis_index(BATCH_AXIS)
-    data = jax.tree_util.tree_map(_vary, data)
-    goal = _vary(goal)
-    best_seq = _vary(nominal)
+    best_seq = nominal
     best_ret = jnp.asarray(-jnp.inf, planner.dtype)
     mult = 1.0
     for _ in range(max(cfg.iterations, 1)):
@@ -136,9 +145,7 @@ def sharded_solve_batch(planner: PredictiveSampling, mesh, data_b, goals,
 
   def body(data_b, goals, nominal, keys):
     idx = jax.lax.axis_index(BATCH_AXIS)
-    data_b = jax.tree_util.tree_map(_vary, data_b)
-    goals = _vary(goals)
-    best_seq = _vary(nominal)                           # (G, H, nu)
+    best_seq = nominal                                  # (G, H, nu)
     best_ret = jnp.full((g,), -jnp.inf, planner.dtype)
     mult = 1.0
     # Flattened per-candidate initial states/goals, sliced to this shard

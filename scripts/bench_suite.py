@@ -44,6 +44,11 @@ def bench_task(name: str, batch: int, steps: int, seed: int, shard: bool):
   lo = jnp.where(jnp.isfinite(spec.minimum), spec.minimum, -1.0)
   hi = jnp.where(jnp.isfinite(spec.maximum), spec.maximum, 1.0)
 
+  # Chunked on-device scans with a host loop between chunks: at B=4096 a
+  # single 100-step device execution outruns the tunneled-TPU watchdog
+  # (same constraint as scripts/eval_closed_loop_batch.py).
+  chunk = min(steps, int(os.environ.get('SUITE_CHUNK', '10')))
+
   @jax.jit
   def run(key, state, metrics):
     def body(carry, _):
@@ -54,7 +59,13 @@ def bench_task(name: str, batch: int, steps: int, seed: int, shard: bool):
       state, ts, metrics = benv.step_with_metrics(state, actions, metrics)
       return (key, state, metrics), ()
     (key, state, metrics), _ = jax.lax.scan(
-        body, (key, state, metrics), (), length=steps)
+        body, (key, state, metrics), (), length=chunk)
+    return key, state, metrics
+
+  def run_steps(key, state, metrics, n):
+    for _ in range(-(-n // chunk)):
+      key, state, metrics = run(key, state, metrics)
+    jax.block_until_ready(metrics.env_steps)
     return key, state, metrics
 
   key = jax.random.PRNGKey(seed)
@@ -67,12 +78,10 @@ def bench_task(name: str, batch: int, steps: int, seed: int, shard: bool):
     metrics = metrics.replace(
         cur_return=sharding.shard_batch(mesh, metrics.cur_return),
         cur_length=sharding.shard_batch(mesh, metrics.cur_length))
-  # Warm-up (compile) one scan, then measure a fresh run.
-  k2, s2, m2 = run(key, state, metrics)
-  jax.block_until_ready(m2.env_steps)
+  # Warm-up (compile + one full pass), then measure a fresh run.
+  k2, s2, m2 = run_steps(key, state, metrics, steps)
   t0 = time.perf_counter()
-  k2, s2, m2 = run(k2, s2, m2)
-  jax.block_until_ready(m2.env_steps)
+  k2, s2, m2 = run_steps(k2, s2, m2, steps)
   wall = time.perf_counter() - t0
   summ = metrics_lib.summary(m2)
   n_sub = task.n_substeps
@@ -98,9 +107,21 @@ def main():
   names = only.split(',') if only else list(manipulation.ALL_NAMES)
   results = []
   for name in names:
-    r = bench_task(name, batch, steps, seed, shard)
+    b = batch
+    while True:
+      try:
+        r = bench_task(name, b, steps, seed, shard)
+        break
+      except Exception as e:                     # noqa: BLE001
+        # Tunneled-TPU watchdog / device faults at extreme batch: halve
+        # and record the achieved batch honestly (no silent cap).
+        if b <= 256:
+          raise
+        print(f'{name}: batch {b} failed ({type(e).__name__}); '
+              f'retrying at {b // 2}', flush=True)
+        b //= 2
     results.append(r)
-    print(f"{name}: {r['env_steps_per_s']:,.0f} env steps/s "
+    print(f"{name}: B={b} {r['env_steps_per_s']:,.0f} env steps/s "
           f"({r['env_substeps_per_s']:,.0f} substeps/s), "
           f"{r['metrics']['episodes']} episodes", flush=True)
   out = {
