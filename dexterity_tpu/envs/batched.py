@@ -64,4 +64,4 @@ class BatchedEnvironment:
     done = ts.step_type == env_lib.StepType.LAST
     metrics = metrics_lib.update(
         metrics, ts.reward, done, new_state.task.successes)
-    return self._merge_resets(new_state, done), ts, metrics, metrics
+    return self._merge_resets(new_state, done), ts, metrics
