@@ -96,6 +96,14 @@ def bench_task(name: str, batch: int, steps: int, seed: int, shard: bool):
   }
 
 
+def _run_one(name, batch, steps, seed, shard):
+  r = bench_task(name, batch, steps, seed, shard)
+  print(f"{name}: B={batch} {r['env_steps_per_s']:,.0f} env steps/s "
+        f"({r['env_substeps_per_s']:,.0f} substeps/s), "
+        f"{r['metrics']['episodes']} episodes", flush=True)
+  return r
+
+
 def main():
   from dexterity_tpu import manipulation
 
@@ -105,25 +113,42 @@ def main():
   shard = os.environ.get('SUITE_SHARD', '0') == '1'
   only = os.environ.get('SUITE_TASKS')
   names = only.split(',') if only else list(manipulation.ALL_NAMES)
+
+  if os.environ.get('SUITE_CHILD'):
+    # One (task, batch) attempt; result JSON to SUITE_OUT.
+    r = _run_one(names[0], batch, steps, seed, shard)
+    with open(os.environ['SUITE_OUT'], 'w') as f:
+      json.dump(r, f)
+    return
+
+  # Parent: one subprocess per (task, batch) attempt — a TPU device fault
+  # (e.g. the tunneled-chip watchdog at extreme batch) poisons the client
+  # for the whole process, so halving must respawn.  The achieved batch
+  # is recorded honestly per task (no silent cap).
+  import subprocess
+  import sys as _sys
+  import tempfile
   results = []
   for name in names:
     b = batch
     while True:
-      try:
-        r = bench_task(name, b, steps, seed, shard)
+      tmp = tempfile.NamedTemporaryFile(suffix='.json', delete=False)
+      env2 = dict(os.environ, SUITE_CHILD='1', SUITE_TASKS=name,
+                  SUITE_B=str(b), SUITE_OUT=tmp.name)
+      rc = subprocess.call([_sys.executable, os.path.abspath(__file__)],
+                           env=env2)
+      if rc == 0:
+        with open(tmp.name) as f:
+          results.append(json.load(f))
         break
-      except Exception as e:                     # noqa: BLE001
-        # Tunneled-TPU watchdog / device faults at extreme batch: halve
-        # and record the achieved batch honestly (no silent cap).
-        if b <= 256:
-          raise
-        print(f'{name}: batch {b} failed ({type(e).__name__}); '
-              f'retrying at {b // 2}', flush=True)
-        b //= 2
-    results.append(r)
-    print(f"{name}: B={b} {r['env_steps_per_s']:,.0f} env steps/s "
-          f"({r['env_substeps_per_s']:,.0f} substeps/s), "
-          f"{r['metrics']['episodes']} episodes", flush=True)
+      if b <= 256:
+        print(f'{name}: failed down to batch {b}; recording failure',
+              flush=True)
+        results.append({'task': name, 'batch': b, 'error': f'rc={rc}'})
+        break
+      print(f'{name}: batch {b} failed (rc={rc}); retrying at {b // 2}',
+            flush=True)
+      b //= 2
   out = {
       'backend': jax.default_backend(),
       'n_devices': len(jax.devices()) if shard else 1,

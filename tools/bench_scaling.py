@@ -126,10 +126,18 @@ def main():
               else 'single real chip; multi-chip needs a pod slice'),
       results=results)
   path = os.environ.get('SCALING_OUT', 'SCALING_r04.json')
-  mode = 'a' if os.path.exists(path) and os.environ.get(
-      'SCALING_APPEND') else 'w'
-  with open(path, mode) as f:
-    json.dump(out, f, indent=1)
+  doc = {}
+  if os.path.exists(path) and os.environ.get('SCALING_APPEND'):
+    try:
+      with open(path) as f:
+        doc = json.load(f)
+    except ValueError:
+      doc = {}
+  if 'results' in doc:                      # legacy single-backend layout
+    doc = {doc.get('backend', 'cpu'): doc}
+  doc[backend] = out
+  with open(path, 'w') as f:
+    json.dump(doc, f, indent=1)
     f.write('\n')
   print('wrote', path)
   for r in results:
