@@ -204,15 +204,22 @@ class GoalEnvironment:
                   observation=obs)
     return state, ts
 
+  def _switch_flag(self, tstate):
+    """before_step goal-switch predicate (reference task.py:154-165)."""
+    return tstate.success_change_counter > self.task.steps_before_changing_goal
+
   def step(self, state: EnvState, action: jax.Array):
     """Returns (EnvState, TimeStep)."""
-    model = self.model
     tstate = state.task
     data = state.data
     key, k_goal = jax.random.split(state.key)
 
-    # before_step: goal switching (reference task.py:154-165).
-    switch = tstate.success_change_counter > self.task.steps_before_changing_goal
+    # before_step: goal switching.  NOTE: under vmap this cond lowers to
+    # a select that executes BOTH branches for every env — for tasks
+    # whose goal generator settles physics (reach) that multiplies the
+    # step cost ~100x.  Batched callers should use step_batch(), which
+    # skips the whole resample under one scalar predicate.
+    switch = self._switch_flag(tstate)
 
     def do_switch(operand):
       data, key = operand
@@ -225,6 +232,46 @@ class GoalEnvironment:
 
     goal, data, goal_ok = jax.lax.cond(switch, do_switch, no_switch,
                                        (data, k_goal))
+    return self._step_after_switch(state, action, key, switch, goal, data,
+                                   goal_ok)
+
+  def step_batch(self, state: EnvState, actions: jax.Array):
+    """Batched step (leading batch axis on state/actions): identical
+    semantics to vmap(step) — pinned by tests — but the goal resample
+    runs under a SCALAR lax.cond on 'any env switches', so the common
+    no-switch step skips the resample entirely instead of executing it
+    masked for every env (the vmap(cond) -> select pathology; reach's
+    settle-based goal generator made vmapped stepping ~100x slower)."""
+    tstate = state.task
+    keys = jax.vmap(jax.random.split)(state.key)
+    key, k_goal = keys[:, 0], keys[:, 1]
+    switch = jax.vmap(self._switch_flag)(tstate)          # (B,)
+
+    def do_switches(operand):
+      data_b, ks = operand
+      goal2, data2, ok2 = jax.vmap(self._sample_goal)(data_b, ks)
+
+      def sel(a, b):
+        return jnp.where(switch.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
+
+      return (sel(goal2, tstate.goal),
+              jax.tree_util.tree_map(sel, data2, data_b),
+              sel(ok2, tstate.goal_ok))
+
+    def no_switches(operand):
+      data_b, _ = operand
+      return tstate.goal, data_b, tstate.goal_ok
+
+    goal, data, goal_ok = jax.lax.cond(
+        jnp.any(switch), do_switches, no_switches, (state.data, k_goal))
+    return jax.vmap(self._step_after_switch)(state, actions, key, switch,
+                                             goal, data, goal_ok)
+
+  def _step_after_switch(self, state, action, key, switch, goal, data,
+                         goal_ok):
+    """Everything in step() after goal switching (per-env)."""
+    model = self.model
+    tstate = state.task
     tstate = tstate.replace(
         goal=goal,
         goal_ok=goal_ok,

@@ -21,7 +21,9 @@ class BatchedEnvironment:
     self.env = env
     self.batch_size = batch_size
     self._reset = jax.vmap(env.reset)
-    self._step = jax.vmap(env.step)
+    # step_batch == vmap(step) semantically (pinned by tests), but skips
+    # the goal resample under a scalar cond when no env switches goal.
+    self._step = env.step_batch
 
   def reset(self, key: jax.Array):
     keys = jax.random.split(key, self.batch_size)

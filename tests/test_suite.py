@@ -173,3 +173,35 @@ def test_vision_preset_returns_pixels():
   assert 'adroit_hand/joint_positions_sin_cos' in ts.observation
   state, ts = step(state, jnp.zeros(env.action_spec().shape[0]))
   assert ts.observation['front_close'].shape == (84, 84, 3)
+
+
+def test_step_batch_matches_vmapped_step():
+  """env.step_batch == vmap(env.step) — including the goal-switch path
+  (step_batch runs the resample under a scalar cond; a mixed batch where
+  one env switches and others don't must still match per-env)."""
+  env, reset, step = _env_and_fns('reach', 'state_dense')
+  genv = env._env if hasattr(env, '_env') else env
+  b = 3
+  keys = jax.random.split(jax.random.PRNGKey(4), b)
+  states, _ = jax.jit(jax.vmap(genv.reset))(keys)
+  # Force env 0 over the goal-switch threshold.
+  counter = states.task.success_change_counter
+  counter = counter.at[0].set(
+      jnp.asarray(genv.task.steps_before_changing_goal + 1, counter.dtype))
+  states = states.replace(task=states.task.replace(
+      success_change_counter=counter))
+  actions = jnp.zeros((b,) + genv.action_spec().shape)
+
+  s_ref, ts_ref = jax.jit(jax.vmap(genv.step))(states, actions)
+  s_b, ts_b = jax.jit(genv.step_batch)(states, actions)
+
+  np.testing.assert_allclose(np.asarray(s_b.data.qpos),
+                             np.asarray(s_ref.data.qpos), atol=1e-12)
+  np.testing.assert_allclose(np.asarray(s_b.task.goal),
+                             np.asarray(s_ref.task.goal), atol=1e-12)
+  np.testing.assert_allclose(np.asarray(ts_b.reward),
+                             np.asarray(ts_ref.reward), atol=1e-12)
+  np.testing.assert_array_equal(np.asarray(s_b.task.goal_changed),
+                                np.asarray(s_ref.task.goal_changed))
+  assert bool(s_b.task.goal_changed[0]) and not bool(
+      s_b.task.goal_changed[1])
