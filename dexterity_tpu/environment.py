@@ -245,6 +245,16 @@ class GoalEnvironment:
     tstate = state.task
     keys = jax.vmap(jax.random.split)(state.key)
     key, k_goal = keys[:, 0], keys[:, 1]
+
+    # Static bypass: tasks that never switch goals mid-episode (threshold
+    # INT_MAX, e.g. juggle) skip the cond entirely — even an untaken
+    # branch costs the full batched Data round-tripping the conditional.
+    if self.task.steps_before_changing_goal >= 2**31 - 1:
+      switch = jnp.zeros(tstate.successes.shape, bool)
+      return jax.vmap(self._step_after_switch)(
+          state, actions, key, switch, tstate.goal, state.data,
+          tstate.goal_ok)
+
     switch = jax.vmap(self._switch_flag)(tstate)          # (B,)
 
     def do_switches(operand):
