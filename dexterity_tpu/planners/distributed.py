@@ -117,15 +117,19 @@ def sharded_solve(planner: PredictiveSampling, mesh, data, goal,
       mult = mult * cfg.noise_decay
     action = best_seq[0]
     nominal_next = jnp.concatenate([best_seq[1:], best_seq[-1:]])
-    # Outputs are identical on every shard; emit with a leading shard axis
-    # (out_specs P('batch')) and slice one copy outside.
-    return (action[None], nominal_next[None], best_ret[None])
+    # Outputs are identical on every shard (the all_gather made selection
+    # global): emit them REPLICATED (out_specs P()).  Emitting with a
+    # leading shard axis and slicing one copy outside poisons the output
+    # shardings — feeding the returned PlannerState into the next solve
+    # then recompiled/resharded every call (~20 s/solve measured; 60 ms
+    # with replicated outputs).
+    return (action, nominal_next, best_ret)
 
   fn = shard_map(body, mesh=mesh,
                  in_specs=(P(), P(), P(), P()),
-                 out_specs=(P(BATCH_AXIS), P(BATCH_AXIS), P(BATCH_AXIS)))
+                 out_specs=(P(), P(), P()))
   action, nominal, best_r = fn(data, goal, pstate.nominal, key)
-  return action[0], PlannerState(nominal=nominal[0], best_return=best_r[0])
+  return action, PlannerState(nominal=nominal, best_return=best_r)
 
 
 def sharded_solve_batch(planner: PredictiveSampling, mesh, data_b, goals,
@@ -188,10 +192,11 @@ def sharded_solve_batch(planner: PredictiveSampling, mesh, data_b, goals,
     actions = best_seq[:, 0]
     nominal_next = jnp.concatenate(
         [best_seq[:, 1:], best_seq[:, -1:]], axis=1)
-    return (actions[None], nominal_next[None], best_ret[None])
+    # Replicated outputs — see sharded_solve.
+    return (actions, nominal_next, best_ret)
 
   fn = shard_map(body, mesh=mesh,
                  in_specs=(P(), P(), P(), P()),
-                 out_specs=(P(BATCH_AXIS), P(BATCH_AXIS), P(BATCH_AXIS)))
+                 out_specs=(P(), P(), P()))
   actions, nominal, best_r = fn(data_b, goals, pstates.nominal, keys)
-  return actions[0], PlannerState(nominal=nominal[0], best_return=best_r[0])
+  return actions, PlannerState(nominal=nominal, best_return=best_r)

@@ -70,8 +70,21 @@ def main():
   state, _ = jax.jit(env.reset)(jax.random.PRNGKey(0))
   planner = ps.PredictiveSampling(task, config)
 
-  def time_solves(solve_fn):
+  def time_solves(solve_fn, mesh=None):
     pstate = planner.init_state()
+    if mesh is not None:
+      # Pre-place the carried planner state in the solve's replicated
+      # output sharding: otherwise feeding the first output back changes
+      # the input shardings and triggers ONE full retrace of the program
+      # (~20 s of tracing for this graph) mid-measurement.
+      from jax.sharding import NamedSharding, PartitionSpec
+      repl = NamedSharding(mesh, PartitionSpec())
+      pstate = jax.device_put(pstate, repl)
+    action, pstate = solve_fn(state.data, state.task.goal, pstate,
+                              jax.random.PRNGKey(1))
+    jax.block_until_ready(action)
+    # Second warmup WITH the fed-back state covers any remaining
+    # sharding-driven retrace before timing starts.
     action, pstate = solve_fn(state.data, state.task.goal, pstate,
                               jax.random.PRNGKey(1))
     jax.block_until_ready(action)
@@ -93,7 +106,7 @@ def main():
     with mesh:
       wall = time_solves(jax.jit(
           lambda d, g, p, k, mesh=mesh:
-          distributed.sharded_solve(planner, mesh, d, g, p, k)))
+          distributed.sharded_solve(planner, mesh, d, g, p, k)), mesh=mesh)
     results.append(dict(
         n_devices=n_dev, samples=samples, horizon=horizon,
         s_per_solve=wall, solves_per_s=1.0 / wall,
