@@ -5,10 +5,10 @@ check:
 	  || python -m compileall -q dexterity_tpu/ tests/ examples/ scripts/
 
 test:
-	python -m pytest tests/ -x -q
+	python -m pytest tests/ -q -n auto
 
 test-fast:
-	python -m pytest tests/ -x -q -m "not slow" --ignore=tests/test_suite.py
+	python -m pytest tests/ -q -n auto -m "not slow" --ignore=tests/test_suite.py
 
 bench:
 	python bench.py

@@ -30,19 +30,24 @@ class ActuatorEffector(effector.Effector):
         [model.actuator_names.index(n) for n in self._actuator_names],
         np.int32)
 
-  def action_spec(self, model) -> specs.BoundedArray:
-    if self._indices is None:
+  def indices(self, model=None) -> np.ndarray:
+    """Compiled actuator indices (lazily resolved when a model is given)."""
+    if self._indices is None and model is not None:
       self.after_compile(model)
-    rng = np.asarray(model.actuator_ctrlrange)[self._indices]
-    names = '\t'.join(f'{self._prefix}{i}'
-                      for i in range(len(self._indices)))
+    assert self._indices is not None, 'after_compile() not called'
+    return self._indices
+
+  def action_spec(self, model) -> specs.BoundedArray:
+    idx = self.indices(model)
+    rng = np.asarray(model.actuator_ctrlrange)[idx]
+    names = '\t'.join(f'{self._prefix}{i}' for i in range(len(idx)))
     # Unlimited ctrl stays +/-inf (MuJoCo ctrllimited semantics).
     return specs.BoundedArray(
-        shape=(len(self._indices),), dtype=np.float64, name=names,
+        shape=(len(idx),), dtype=np.float64, name=names,
         minimum=rng[:, 0], maximum=rng[:, 1])
 
   def set_control(self, model, data, state, command):
-    ctrl = data.ctrl.at[jnp.asarray(self._indices)].set(command)
+    ctrl = data.ctrl.at[jnp.asarray(self.indices())].set(command)
     return data.replace(ctrl=ctrl), state
 
   @property

@@ -312,10 +312,11 @@ class GoalEnvironment:
     new_success = success_now & ~tstate.success_registered
     successes = tstate.successes + new_success.astype(jnp.int32)
     registered = tstate.success_registered | success_now
-    if self.task.max_time_per_goal is not None:
+    max_time_per_goal = self.task.max_time_per_goal
+    if max_time_per_goal is not None:
       exceeded = tstate.exceeded_single_goal_time | (
           ~success_now
-          & (data.time - tstate.solve_start_time > self.task.max_time_per_goal))
+          & (data.time - tstate.solve_start_time > max_time_per_goal))
     else:
       exceeded = tstate.exceeded_single_goal_time
     failure = self.task.failure_termination(model, data)

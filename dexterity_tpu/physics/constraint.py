@@ -924,9 +924,13 @@ def solve(model: Model, data: Data, qfrc_smooth: jax.Array,
       if fac is None:
         hess = m + sum(_blk_hess(b, w, nv, dtype)
                        for b, (_, w) in zip(blocks, fws))
-        fac = linalg_pallas.cholesky_factor(
-            hess + 1e-10 * jnp.eye(nv, dtype=dtype))
-      delta = -linalg_pallas.cholesky_resolve(fac, grad)
+        # stop_gradient: the packed factor is a preconditioner — its
+        # tangents vanish at the solver fixed point, and the const-JVP
+        # resolve below lets forward-mode AD (iLQR linearization) run
+        # the stale-factor path at substitution cost.
+        fac = linalg_pallas.cholesky_factor(jax.lax.stop_gradient(
+            hess + 1e-10 * jnp.eye(nv, dtype=dtype)))
+      delta = -linalg_pallas.cholesky_resolve_const(fac, grad)
     else:
       hess = m + sum(_blk_hess(b, w, nv, dtype)
                      for b, (_, w) in zip(blocks, fws))

@@ -13,9 +13,10 @@ always a candidate, so an iteration can never regress).
 
 Planning runs on the same reduced model as predictive sampling
 (planners/common.py): coarser timestep, smaller contact budget,
-moving-base-only collision pairs.  NOTE: forward AD requires the exact
-Newton path — `solver_refactor_every` is pinned to 1 (the stale-factor
-Pallas resolve has no JVP rule).
+moving-base-only collision pairs, and (since round 5) the modified-Newton
+stale-factor path — the resolve carries a constant-preconditioner JVP
+(linalg_pallas.cholesky_resolve_const), so linearization costs
+substitutions, not per-tangent factorizations.
 
 State chart: x = [qpos, qvel] (quaternions re-normalized inside the step;
 derivatives live in the ambient chart, which is standard for MJPC-style
@@ -47,10 +48,16 @@ class ILQRConfig:
   reg_max: float = 1e4
   line_search_steps: int = 6   # parallel alphas 0, 1, 1/2, ... 1/2^(k-2)
   ctrl_cost: float = 1e-3      # quadratic control penalty
-  # Reduced-fidelity planning physics (same knobs as predictive sampling;
-  # refactor_every is forced to 1 — see module docstring).
+  # Reduced-fidelity planning physics (same knobs as predictive sampling).
+  # refactor_every>1 is AD-legal since round 5: the stale-factor resolve
+  # carries a constant-preconditioner JVP (linalg_pallas.
+  # cholesky_resolve_const) — tangents through the factor vanish at the
+  # Newton fixed point, so the nx+nu forward-mode linearization runs at
+  # substitution cost instead of paying a fresh factorization per
+  # iteration (the round-4 pin that kept hybrid iLQR 6x below real time).
   solver_iterations: int = 4
   ls_iterations: int = 6
+  solver_refactor_every: int = 4
   plan_substeps: Optional[int] = None
   plan_midphase_cap: Optional[int] = 16
   plan_contact_top_k: Optional[int] = 16
@@ -84,7 +91,7 @@ class ILQR:
         task,
         solver_iterations=config.solver_iterations,
         ls_iterations=config.ls_iterations,
-        solver_refactor_every=1,
+        solver_refactor_every=config.solver_refactor_every,
         plan_substeps=config.plan_substeps,
         plan_midphase_cap=config.plan_midphase_cap,
         plan_contact_top_k=config.plan_contact_top_k,
@@ -100,7 +107,7 @@ class ILQR:
     self.nu = spec.shape[0]
     ids = []
     for eff in task.hand_effectors:
-      ids.extend(eff._indices.tolist())
+      ids.extend(eff.indices().tolist())
     self._act_ids = np.asarray(ids, np.int32)
     self.nx = model.nq + model.nv
 

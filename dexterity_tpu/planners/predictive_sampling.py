@@ -164,7 +164,7 @@ class PredictiveSampling:
     ids = []
     for eff, (a, b) in zip(self.task.hand_effectors,
                            self.task.effector_slices(model)):
-      ids.extend(eff._indices.tolist())
+      ids.extend(eff.indices().tolist())
     return np.asarray(ids, np.int32)
 
   # -- core ---------------------------------------------------------------

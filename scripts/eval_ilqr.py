@@ -68,15 +68,27 @@ def main():
     low = jnp.maximum(spawn_center[2] - drop_margin - pos[2], 0.0)
     return w_horiz * horiz + w_drop * low * low
 
-  planner = ilqr_lib.ILQR(
-      task,
-      ilqr_lib.ILQRConfig(horizon=horizon, iterations=iters,
+  refac = int(os.environ.get('REFAC', '4'))
+  if mode in ('sqp', 'hybrid_sqp'):
+    from dexterity_tpu.planners import sqp as sqp_lib
+    planner = sqp_lib.SQP(
+        task,
+        sqp_lib.SQPConfig(horizon=horizon, iterations=iters,
                           line_search_steps=ls, ctrl_cost=ctrl_cost,
-                          reg_init=reg, plan_substeps=plan_substeps),
-      extra_cost_fn=keep_in_hand_cost if shaping_on else None)
+                          reg_init=reg, plan_substeps=plan_substeps,
+                          solver_refactor_every=refac),
+        extra_cost_fn=keep_in_hand_cost if shaping_on else None)
+  else:
+    planner = ilqr_lib.ILQR(
+        task,
+        ilqr_lib.ILQRConfig(horizon=horizon, iterations=iters,
+                            line_search_steps=ls, ctrl_cost=ctrl_cost,
+                            reg_init=reg, plan_substeps=plan_substeps,
+                            solver_refactor_every=refac),
+        extra_cost_fn=keep_in_hand_cost if shaping_on else None)
 
   ps_planner = None
-  if mode == 'hybrid':
+  if mode in ('hybrid', 'hybrid_sqp'):
     def keep_in_hand_reward(model, data, goal):
       return -keep_in_hand_cost(model, data, goal)
     ps_planner = ps.PredictiveSampling(
@@ -101,7 +113,7 @@ def main():
     return state, istate, pstate, keys[0], done, solved, steps_to_solve
 
   def one_solve(data, goal, istate, pstate, key):
-    if mode == 'hybrid':
+    if mode in ('hybrid', 'hybrid_sqp'):
       ps_action, pstate2 = ps_planner.solve(data, goal, pstate, key)
       warm = planner.warm_start(pstate2.nominal)
       # Refine whichever is better: compare the iLQR trajectory cost of

@@ -5,7 +5,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from dexterity_tpu.parallel import sharding
 
@@ -67,7 +66,6 @@ def _reach_planner(num_samples=16, horizon=4):
   return env, planner
 
 
-@pytest.mark.slow
 def test_sharded_solve_matches_solve():
   """Config-parity regression (VERDICT r3 item 1): the population-sharded
   solve runs the full validated planner (CEM iterations + noise decay +
@@ -97,7 +95,6 @@ def test_sharded_solve_matches_solve():
                              float(pstate_u.best_return), rtol=1e-5)
 
 
-@pytest.mark.slow
 def test_sharded_solve_batch_matches_solve_batch():
   """Multi-stream form: sharded_solve_batch == solve_batch per stream."""
   from dexterity_tpu.planners import distributed

@@ -3,6 +3,7 @@
 Times each pipeline stage jitted in isolation at B=BENCH_SAMPLES (default
 512), plus the composed substep, to locate where the per-substep time goes.
 Run on the real chip:  python tools/profile_stages.py
+TASK=juggle profiles the two-MPL-hand model (r4 VERDICT weak #5).
 """
 
 import os
@@ -38,7 +39,9 @@ def main():
   from dexterity_tpu.physics.collision import narrowphase
 
   B = int(os.environ.get('BENCH_SAMPLES', '512'))
-  task = manipulation.build_task('reorient', 'state_dense')
+  domain = os.environ.get('TASK', 'reorient')
+  variant = 'state_sparse' if domain == 'juggle' else 'state_dense'
+  task = manipulation.build_task(domain, variant)
   env = manipulation._environment.GoalEnvironment(task)
   model = task.compile()
   state, _ = jax.jit(env.reset)(jax.random.PRNGKey(0))
