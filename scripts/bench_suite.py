@@ -22,8 +22,20 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# SUITE_CPU=1: force the CPU backend with a virtual 8-device mesh (for
+# the SUITE_SHARD=1 8-device row; the axon TPU plugin overrides the
+# JAX_PLATFORMS env var, so the platform is pinned via jax.config below).
+if os.environ.get('SUITE_CPU') == '1':
+  _flags = os.environ.get('XLA_FLAGS', '')
+  if 'xla_force_host_platform_device_count' not in _flags:
+    os.environ['XLA_FLAGS'] = (
+        _flags + ' --xla_force_host_platform_device_count=8').strip()
+
 import jax
 import jax.numpy as jnp
+
+if os.environ.get('SUITE_CPU') == '1':
+  jax.config.update('jax_platforms', 'cpu')
 
 os.makedirs('/tmp/dexterity_tpu_jax_cache', exist_ok=True)
 jax.config.update('jax_compilation_cache_dir', '/tmp/dexterity_tpu_jax_cache')
@@ -156,7 +168,22 @@ def main():
       'policy': 'uniform random',
       'results': results,
   }
-  path = os.environ.get('SUITE_OUT', 'SUITE_BENCH_r04.json')
+  if os.environ.get('SUITE_MULTIHOST') == '1':
+    # 2-process jax.distributed row (BASELINE configs[4] "multi-host").
+    mh_out = tempfile.NamedTemporaryFile(suffix='.json', delete=False)
+    env3 = dict(os.environ, MULTIHOST_OUT=mh_out.name)
+    env3.pop('SUITE_CHILD', None)
+    rc = subprocess.call(
+        [_sys.executable,
+         os.path.join(os.path.dirname(os.path.dirname(
+             os.path.abspath(__file__))), 'tools',
+             'run_multihost_suite.py')], env=env3)
+    if rc == 0:
+      with open(mh_out.name) as f:
+        out['multihost'] = json.load(f)
+    else:
+      out['multihost'] = {'error': f'rc={rc}'}
+  path = os.environ.get('SUITE_OUT', 'SUITE_BENCH_r05.json')
   with open(path, 'w') as f:
     json.dump(out, f, indent=1)
     f.write('\n')

@@ -178,6 +178,7 @@ def main():
       'config': {'horizon': horizon, 'iterations': iters,
                  'line_search_steps': ls, 'ctrl_cost': ctrl_cost,
                  'reg_init': reg, 'plan_substeps': plan_substeps,
+                 'solver_refactor_every': refac,
                  'shaping': shaping_on, 'steps': n_steps, 'seed': seed},
       'wall_s': wall, 'backend': jax.default_backend(),
   }

@@ -78,6 +78,26 @@ def test_ilqr_improves_reach():
       _mean_dist(state), _mean_dist(passive))
 
 
+@pytest.mark.slow
+def test_sqp_improves_reach():
+  """SQP (condensed box-QP over the same linearizations) makes progress
+  on reach vs the passive rollout — BASELINE configs[3] 'iLQR/SQP'."""
+  from dexterity_tpu.planners import sqp
+  env, reset, step = _reach()
+  planner = sqp.SQP(env.task, sqp.SQPConfig(
+      horizon=3, iterations=2, line_search_steps=3, qp_iterations=2))
+  solve = jax.jit(planner.solve)
+  state, _ = reset(jax.random.PRNGKey(1))
+  passive = state
+  pstate = planner.init_state()
+  for t in range(6):
+    action, pstate = solve(state.data, state.task.goal, pstate)
+    state, _ = step(state, action)
+    passive, _ = step(passive, jnp.zeros(planner.nu))
+  assert _mean_dist(state) < 0.8 * _mean_dist(passive), (
+      _mean_dist(state), _mean_dist(passive))
+
+
 def test_solve_batch_matches_vmapped_solve():
   """solve_batch (the multi-stream serving/bench path) == vmap(solve):
   same key schedule, same candidate populations, same chosen plans."""
