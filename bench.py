@@ -53,7 +53,10 @@ def main():
       'BENCH_SAMPLES', '192' if streams_env == 1 else '256'))
   iterations = int(os.environ.get('BENCH_ITERS', '2'))
   horizon = int(os.environ.get('BENCH_HORIZON', '10'))
-  n_rounds = int(os.environ.get('BENCH_SOLVES', '20'))
+  # 40 rounds: at 20 the measurement is jitter-dominated (the same
+  # program measured 60.9 at 20 rounds vs 63.5 at 40 — tunnel dispatch
+  # noise amortizes over the longer run).
+  n_rounds = int(os.environ.get('BENCH_SOLVES', '40'))
   plan_substeps = int(os.environ.get('BENCH_PLAN_SUBSTEPS', '3'))
   streams = streams_env
 

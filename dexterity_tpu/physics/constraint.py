@@ -926,11 +926,16 @@ def solve(model: Model, data: Data, qfrc_smooth: jax.Array,
                        for b, (_, w) in zip(blocks, fws))
         # stop_gradient: the packed factor is a preconditioner — its
         # tangents vanish at the solver fixed point, and the const-JVP
-        # resolve below lets forward-mode AD (iLQR linearization) run
-        # the stale-factor path at substitution cost.
-        fac = linalg_pallas.cholesky_factor(jax.lax.stop_gradient(
-            hess + 1e-10 * jnp.eye(nv, dtype=dtype)))
-      delta = -linalg_pallas.cholesky_resolve_const(fac, grad)
+        # solve/resolve let forward-mode AD (iLQR linearization) run
+        # the stale-factor path at substitution cost.  One fused kernel
+        # solves AND emits the packed factor (no factor HBM round-trip
+        # between factorization and first substitution).
+        sol, fac = linalg_pallas.cholesky_solve_factor(
+            jax.lax.stop_gradient(hess + 1e-10 * jnp.eye(nv, dtype=dtype)),
+            grad)
+        delta = -sol
+      else:
+        delta = -linalg_pallas.cholesky_resolve_const(fac, grad)
     else:
       hess = m + sum(_blk_hess(b, w, nv, dtype)
                      for b, (_, w) in zip(blocks, fws))

@@ -132,6 +132,133 @@ def _build_pallas(n, tiles, dtype_name, sub=_SUB):
   )
 
 
+def _solve_factor_kernel(n):
+  def kernel(h_ref, g_ref, x_ref, l_ref, a, y):
+    # Fused solve + packed-factor emit: identical factorization to
+    # _kernel, but the working matrix (with the packed 1/sqrt diagonal of
+    # _factor_kernel) is also written out, so the modified-Newton
+    # refactor iteration pays ONE kernel call instead of factor+resolve
+    # (and the factor never round-trips HBM between the two).
+    a[...] = h_ref[:, :, 0]
+    y[...] = g_ref[:, 0]
+    inv_d = []
+    for k in range(n):
+      inv = jax.lax.rsqrt(jnp.maximum(a[k, k], 1e-12))
+      inv_d.append(inv)
+      a[k, k] = inv
+      if k + 1 < n:
+        col = a[k + 1:, k] * inv[None]
+        a[k + 1:, k + 1:] = a[k + 1:, k + 1:] - col[:, None] * col[None, :]
+        a[k + 1:, k] = col
+    l_ref[...] = a[...][:, :, None]
+    for k in range(n):
+      yk = y[k] * inv_d[k]
+      if k + 1 < n:
+        y[k + 1:] = y[k + 1:] - a[k + 1:, k] * yk[None]
+      y[k] = yk
+    for k in reversed(range(n)):
+      xk = y[k] * inv_d[k]
+      if k:
+        y[:k] = y[:k] - a[k, :k] * xk[None]
+      x_ref[k, 0] = xk
+  return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def _build_solve_factor(n, tiles, dtype_name, sub=_SUB):
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+  dtype = jnp.dtype(dtype_name)
+  return pl.pallas_call(
+      _solve_factor_kernel(n),
+      out_shape=(jax.ShapeDtypeStruct((n, tiles, sub, _LANES), dtype),
+                 jax.ShapeDtypeStruct((n, n, tiles, sub, _LANES), dtype)),
+      grid=(tiles,),
+      in_specs=[
+          pl.BlockSpec((n, n, 1, sub, _LANES), lambda i: (0, 0, i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((n, 1, sub, _LANES), lambda i: (0, i, 0, 0),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=(
+          pl.BlockSpec((n, 1, sub, _LANES), lambda i: (0, i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((n, n, 1, sub, _LANES), lambda i: (0, 0, i, 0, 0),
+                       memory_space=pltpu.VMEM),
+      ),
+      scratch_shapes=[
+          pltpu.VMEM((n, n, sub, _LANES), dtype),
+          pltpu.VMEM((n, sub, _LANES), dtype),
+      ],
+  )
+
+
+def _solve_factor_batched(h, g):
+  """(..., n, n), (..., n) -> ((..., n) solution, packed factor for
+  cholesky_resolve_b).  Pallas path; sub capped harder (the fused kernel
+  keeps ~5 tiles of scoped VMEM live: in x2, scratch, L out x2)."""
+  n = h.shape[-1]
+  batch_shape = h.shape[:-2]
+  h2 = h.reshape((-1, n, n))
+  g2 = g.reshape((-1, n))
+  b = h2.shape[0]
+  sub = _pick_sub(b, n)
+  while sub > 1 and n * n * sub * _LANES * 4 > 2_500_000:
+    sub //= 2
+  h_t, tiles, b_pad, sub = _pad_tiles(jnp.moveaxis(h2, 0, -1), b,
+                                      fill_eye=True, sub=sub)
+  g_t, _, _, _ = _pad_tiles(jnp.moveaxis(g2, 0, -1), b, sub=sub)
+  x_t, l_t = _build_solve_factor(n, tiles, str(h.dtype), sub)(h_t, g_t)
+  x = jnp.moveaxis(x_t.reshape(n, b_pad)[:, :b], -1, 0)
+  l = jnp.moveaxis(l_t.reshape(n, n, b_pad)[..., :b], -1, 0)
+  return (x.reshape(batch_shape + (n,)),
+          l.reshape(batch_shape + (n, n)))
+
+
+@jax.custom_batching.custom_vmap
+def _solve_factor(h: jax.Array, g: jax.Array):
+  if h.ndim == 2 or jax.default_backend() != 'tpu' or h.dtype not in (
+      jnp.float32,) or h.shape[-1] > _max_pallas_n():
+    # Fallback format matches cholesky_factor's: the factor IS the
+    # matrix; cholesky_resolve re-factorizes per call.
+    if h.ndim == 2:
+      x = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(h), g)
+    else:
+      x = _batched_impl(h, g)
+    return x, h
+  return _solve_factor_batched(h, g)
+
+
+@_solve_factor.def_vmap
+def _solve_factor_vmap(axis_size, in_batched, h, g):
+  h_b, g_b = in_batched
+  if not (h_b and g_b):
+    h = h if h_b else jnp.broadcast_to(h, (axis_size,) + h.shape)
+    g = g if g_b else jnp.broadcast_to(g, (axis_size,) + g.shape)
+  return _solve_factor(h, g), (True, True)
+
+
+@jax.custom_jvp
+def cholesky_solve_factor(h: jax.Array, g: jax.Array):
+  """Solves H x = g AND returns the packed factor for cholesky_resolve.
+
+  One fused kernel call for the modified-Newton refactor iteration.  The
+  JVP treats the factor as a constant preconditioner (see
+  cholesky_resolve_const): dx = solve(fac, dg), dfac = 0.  Callers must
+  stop_gradient h.
+  """
+  return _solve_factor(h, g)
+
+
+@cholesky_solve_factor.defjvp
+def _cholesky_solve_factor_jvp(primals, tangents):
+  h, g = primals
+  _, dg = tangents
+  x, fac = _solve_factor(h, g)
+  dx = cholesky_resolve(fac, dg)
+  return (x, fac), (dx, jnp.zeros_like(fac))
+
+
 def _factor_kernel(n):
   from jax.experimental import pallas as pl
   from jax.experimental.pallas import tpu as pltpu
