@@ -61,3 +61,46 @@ def test_nested_vmap_factor_resolve():
       jnp.asarray(h), jnp.asarray(g)))
   ref = np.linalg.solve(h, g[..., None])[..., 0]
   np.testing.assert_allclose(x, ref, rtol=1e-7, atol=1e-9)
+
+
+def test_solve_factor_pair():
+  """cholesky_solve_factor returns the solution AND a factor that
+  cholesky_resolve accepts (the fused modified-Newton refactor step)."""
+  rng = np.random.RandomState(4)
+  b, n = 5, 8
+  a = rng.randn(b, n, n)
+  h = np.einsum('bij,bkj->bik', a, a) + 3 * np.eye(n)
+  g = rng.randn(b, n)
+  g2 = rng.randn(b, n)
+
+  def sf(hh, gg, gg2):
+    x, fac = LP.cholesky_solve_factor(hh, gg)
+    return x, LP.cholesky_resolve(fac, gg2)
+
+  x, x2 = jax.jit(jax.vmap(sf))(jnp.asarray(h), jnp.asarray(g),
+                                jnp.asarray(g2))
+  np.testing.assert_allclose(np.asarray(x),
+                             np.linalg.solve(h, g[..., None])[..., 0],
+                             rtol=1e-7, atol=1e-9)
+  np.testing.assert_allclose(np.asarray(x2),
+                             np.linalg.solve(h, g2[..., None])[..., 0],
+                             rtol=1e-7, atol=1e-9)
+
+
+def test_solve_factor_jvp_const_preconditioner():
+  """Forward-mode through cholesky_solve_factor: dx = H^-1 dg (the factor
+  is constant under the tangent — the iLQR linearization contract)."""
+  rng = np.random.RandomState(5)
+  n = 6
+  a = rng.randn(n, n)
+  h = a @ a.T + 3 * np.eye(n)
+  g = rng.randn(n)
+  dg = rng.randn(n)
+
+  def f(gg):
+    x, _ = LP.cholesky_solve_factor(jnp.asarray(h), gg)
+    return x
+
+  _, dx = jax.jvp(f, (jnp.asarray(g),), (jnp.asarray(dg),))
+  np.testing.assert_allclose(np.asarray(dx), np.linalg.solve(h, dg),
+                             rtol=1e-7, atol=1e-9)
