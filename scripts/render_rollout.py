@@ -24,6 +24,10 @@ import numpy as np
 
 os.makedirs('/tmp/dexterity_tpu_jax_cache', exist_ok=True)
 jax.config.update('jax_compilation_cache_dir', '/tmp/dexterity_tpu_jax_cache')
+# The axon TPU plugin overrides the JAX_PLATFORMS env var; honor an
+# explicit CPU request via jax.config (rendering is host-side anyway).
+if os.environ.get('DEXTERITY_TPU_BACKEND') == 'cpu':
+  jax.config.update('jax_platforms', 'cpu')
 
 
 def main():
