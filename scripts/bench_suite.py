@@ -168,6 +168,16 @@ def main():
       'policy': 'uniform random',
       'results': results,
   }
+  if os.environ.get('SUITE_8DEV_JSON'):
+    # Embed a previously-run virtual-8-device-mesh pass (SUITE_CPU=1
+    # SUITE_SHARD=1 run) so one artifact carries the single-device TPU
+    # rows, the 8-device SPMD rows, and the 2-process multihost row
+    # (BASELINE configs[4] fidelity).
+    try:
+      with open(os.environ['SUITE_8DEV_JSON']) as f:
+        out['virtual_8dev_mesh'] = json.load(f)
+    except OSError as e:
+      out['virtual_8dev_mesh'] = {'error': str(e)}
   if os.environ.get('SUITE_MULTIHOST') == '1':
     # 2-process jax.distributed row (BASELINE configs[4] "multi-host").
     mh_out = tempfile.NamedTemporaryFile(suffix='.json', delete=False)
