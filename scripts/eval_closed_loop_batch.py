@@ -151,7 +151,25 @@ def main():
                  'steps': n_steps, 'seed': seed},
       'wall_s': wall, 'backend': jax.default_backend(),
   }
+  summary['plan_refac'] = int(os.environ.get('PLAN_REFAC', '2'))
   print(json.dumps(summary), flush=True)
+  out = os.environ.get('OUT')
+  if out:
+    # Accumulate runs into one round artifact (EVAL_CLOSED_LOOP_r04.json
+    # document shape: criterion + validated config + runs list).
+    doc = {
+        'round': 5,
+        'criterion': ('reference reorient success: orientation error <= '
+                      '0.1 rad within <= 300 control steps; cube fall = '
+                      'failure (reference reorient.py:51,64-68)'),
+        'runs': [],
+    }
+    if os.path.exists(out):
+      with open(out) as f:
+        doc = json.load(f)
+    doc['runs'].append(summary)
+    with open(out, 'w') as f:
+      json.dump(doc, f, indent=1)
 
 
 if __name__ == '__main__':

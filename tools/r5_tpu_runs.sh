@@ -11,10 +11,10 @@ for s in $steps; do
     closedloop)
       # Revalidate the single-stream bench config (256x2, refac=4) at
       # reference criterion, seeds 0 and 7 (VERDICT r5 item 1 done-bar).
-      GOALS=32 SAMPLES=256 PLAN_REFAC=4 SEED=0 \
+      GOALS=32 SAMPLES=256 PLAN_REFAC=4 FAIL_PEN=30 SEED=0 \
         OUT=EVAL_CLOSED_LOOP_r05.json \
         timeout 5400 python scripts/eval_closed_loop_batch.py
-      GOALS=32 SAMPLES=256 PLAN_REFAC=4 SEED=7 \
+      GOALS=32 SAMPLES=256 PLAN_REFAC=4 FAIL_PEN=30 SEED=7 \
         OUT=EVAL_CLOSED_LOOP_r05.json \
         timeout 5400 python scripts/eval_closed_loop_batch.py
       ;;
